@@ -1,0 +1,215 @@
+"""Camera intrinsic calibration from board corner observations.
+
+TPU-native equivalent of the reference's CameraCalibrator
+(/root/reference src/core/camera_calibrator.cc:221-388
+``CalibrateCameraFromJson`` + :131-219 ``RunCalibration``):
+
+1. Initialization — instead of per-view Theia RANSAC P4P-focal
+   (camera_calibrator.cc:268-307), all views are initialized at once with
+   batched normalized-DLT homographies + Zhang's closed-form shared-focal
+   estimate + homography pose decomposition (ops/pnp.py). Planar targets
+   make this exact and it is one SVD batch on the accelerator.
+2. Voxel-grid view deduplication (camera_calibrator.cc:314-327): greedy
+   min-distance thinning of camera positions.
+3. Three-stage bundle adjustment with Huber loss (1.345 px) and view
+   pruning (camera_calibrator.cc:131-219):
+   stage 1: focal + distortion + poses free, prune views > 5 px;
+   stage 2: principal point only;
+   stage 3: everything free, prune views > 2 px.
+   Each stage is ONE jit-compiled LM solve; stages differ only in the
+   tangent-space free mask and per-view weights (no recompilation).
+
+The BA parameterization: camera params (model vector), per-view
+camera-from-world poses as (quat, translation) blocks with quaternion
+retraction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openimucameracalibrator_tpu.models import cameras
+from openimucameracalibrator_tpu.ops import lie, pnp
+from openimucameracalibrator_tpu.solver import blocks, lm, robust
+from openimucameracalibrator_tpu.utils.types import CameraCalibration, CornerDataset
+
+HUBER_PX = 1.345  # camera_calibrator.cc:140-144
+
+
+@dataclasses.dataclass
+class CameraCalibratorOptions:
+    grid_size: float = 0.04  # voxel dedup spacing, meters (camera_calibrator.h:60)
+    min_num_views: int = 10  # camera_calibrator.h:85
+    max_views: int = 120  # static-shape cap on deduped views
+    stage1_prune_px: float = 5.0  # camera_calibrator.cc:162
+    stage3_prune_px: float = 2.0  # camera_calibrator.cc:201
+    max_iters: int = 40
+    dtype: type = jnp.float64
+
+
+def _build_layout(num_views: int, num_cam_params: int):
+    return blocks.BlockLayout([
+        blocks.BlockSpec("cam", (num_cam_params,)),
+        blocks.BlockSpec("q_cw", (num_views, 4), "quat"),
+        blocks.BlockSpec("t_cw", (num_views, 3)),
+    ])
+
+
+def _make_residual_fn(model: cameras.CameraModel, obs, valid, board_pts, px_scale=1.0):
+    """Whitened reprojection residuals, flattened over (view, point, xy)."""
+
+    def residual(params, view_w):
+        p_cam = lie.quat_rotate(params["q_cw"][:, None, :], board_pts[None]) + params["t_cw"][:, None, :]
+        uv, ok = model.project(params["cam"], p_cam)
+        w = (valid & ok).astype(uv.dtype) * view_w[:, None]
+        r = (uv - obs) * w[..., None] * px_scale
+        return r.reshape(-1)
+
+    return residual
+
+
+@functools.partial(jax.jit, static_argnames=("model_name", "max_iters"))
+def _run_ba_stage(params0, free_mask, view_w, obs, valid, board_pts,
+                  model_name: str, max_iters: int):
+    model = cameras.get_model(model_name)
+    layout = _build_layout(obs.shape[0], model.num_params)
+    residual = _make_residual_fn(model, obs, valid, board_pts)
+    wfn = lambda r: robust.huber_sqrt_weights(r, HUBER_PX, group_size=2)
+    lin, cost, retract = lm.make_dense_linearizer(
+        lambda p: residual(p, view_w), layout, weight_fn=wfn)
+    res = lm.lm_optimize(lin, cost, retract, params0, free_mask,
+                         lm.LMConfig(max_iters=max_iters, ftol=1e-8))
+    return res.params, res.cost, res.iterations
+
+
+@functools.partial(jax.jit, static_argnames=("model_name",))
+def _per_view_rmse(params, obs, valid, board_pts, model_name: str):
+    model = cameras.get_model(model_name)
+    p_cam = lie.quat_rotate(params["q_cw"][:, None, :], board_pts[None]) + params["t_cw"][:, None, :]
+    uv, ok = model.project(params["cam"], p_cam)
+    good = valid & ok
+    err2 = jnp.sum((uv - obs) ** 2, -1) * good
+    n = jnp.maximum(jnp.sum(good, -1), 1)
+    return jnp.sqrt(jnp.sum(err2, -1) / n), good
+
+
+@functools.partial(jax.jit, static_argnames=("model_name",))
+def mean_reproj_error(params, obs, valid, board_pts, model_name: str, view_w):
+    """Mean per-observation pixel error over active views (the metric the
+    reference reports, camera_calibrator.cc:364-368)."""
+    model = cameras.get_model(model_name)
+    p_cam = lie.quat_rotate(params["q_cw"][:, None, :], board_pts[None]) + params["t_cw"][:, None, :]
+    uv, ok = model.project(params["cam"], p_cam)
+    good = valid & ok & (view_w[:, None] > 0)
+    err = jnp.linalg.norm(uv - obs, axis=-1) * good
+    return jnp.sum(err) / jnp.maximum(jnp.sum(good), 1)
+
+
+def initialize_views(dataset: CornerDataset, dtype=jnp.float64):
+    """Batched homography init: shared focal + per-view camera-from-world pose."""
+    w, h = dataset.image_size
+    cc = jnp.array([w / 2.0, h / 2.0], dtype=dtype)
+    obs = jnp.asarray(dataset.points2d, dtype)
+    valid = jnp.asarray(dataset.valid)
+    board_xy = jnp.asarray(dataset.board_points[:, :2], dtype)
+    obj = jnp.broadcast_to(board_xy, (obs.shape[0],) + board_xy.shape)
+    mask = valid.astype(dtype)
+    Hs = pnp.homography_dlt(obj, obs - cc, mask)
+    enough = jnp.sum(valid, -1) >= 10
+    f0 = pnp.zhang_focal(Hs, enough)
+    q_cw, t_cw = pnp.pose_from_homography(Hs, jnp.full((obs.shape[0],), f0, dtype),
+                                          jnp.zeros((obs.shape[0], 2), dtype))
+    return float(f0), np.asarray(q_cw), np.asarray(t_cw), np.asarray(enough)
+
+
+def _voxel_dedup(t_wc: np.ndarray, usable: np.ndarray, grid_size: float, max_views: int):
+    """Greedy spatial thinning of view positions (camera_calibrator.cc:314-327)."""
+    picked = []
+    for v in range(t_wc.shape[0]):
+        if not usable[v]:
+            continue
+        if picked and np.min(np.linalg.norm(t_wc[picked] - t_wc[v], axis=-1)) < grid_size:
+            continue
+        picked.append(v)
+        if len(picked) >= max_views:
+            break
+    return np.asarray(picked, dtype=np.int64)
+
+
+def calibrate_camera(dataset: CornerDataset, model_name: str,
+                     options: CameraCalibratorOptions | None = None):
+    """Full intrinsic calibration. Returns (CameraCalibration, details dict)."""
+    opts = options or CameraCalibratorOptions()
+    model = cameras.get_model(model_name)
+    dt = opts.dtype
+    w, h = dataset.image_size
+
+    f0, q_cw, t_cw, enough = initialize_views(dataset, dt)
+    # Camera position in world = -R^T t.
+    cam_pos = np.einsum("vij,vj->vi",
+                        np.transpose(np.asarray(lie.quat_to_matrix(jnp.asarray(q_cw))), (0, 2, 1)),
+                        -t_cw)
+    picked = _voxel_dedup(cam_pos, enough, opts.grid_size, opts.max_views)
+    if picked.size < opts.min_num_views:
+        raise ValueError(
+            f"only {picked.size} usable views after dedup (< {opts.min_num_views})")
+
+    obs = jnp.asarray(dataset.points2d[picked], dt)
+    valid = jnp.asarray(dataset.valid[picked])
+    board_pts = jnp.asarray(dataset.board_points, dt)
+
+    params = {
+        "cam": model.init_params(f0, w / 2.0, h / 2.0, dtype=dt),
+        "q_cw": jnp.asarray(q_cw[picked], dt),
+        "t_cw": jnp.asarray(t_cw[picked], dt),
+    }
+    layout = _build_layout(picked.size, model.num_params)
+    groups = model.param_groups
+    view_w = jnp.ones((picked.size,), dt)
+
+    def cam_mask(free_idx):
+        m = np.zeros(model.num_params)
+        m[free_idx] = 1.0
+        return m
+
+    # Stage 1: focal + distortion + poses (camera_calibrator.cc:146-162).
+    mask1 = layout.free_mask(partial_masks={"cam": cam_mask(groups["focal"] + groups["dist"])})
+    params, cost, it1 = _run_ba_stage(params, mask1, view_w, obs, valid, board_pts,
+                                      model.name, opts.max_iters)
+    rmse, _ = _per_view_rmse(params, obs, valid, board_pts, model.name)
+    view_w = view_w * (rmse < opts.stage1_prune_px)
+
+    # Stage 2: principal point only (camera_calibrator.cc:164-174).
+    mask2 = layout.free_mask(fixed=["q_cw", "t_cw"],
+                             partial_masks={"cam": cam_mask(groups["pp"])})
+    params, cost, it2 = _run_ba_stage(params, mask2, view_w, obs, valid, board_pts,
+                                      model.name, opts.max_iters)
+
+    # Stage 3: all intrinsics + poses, prune > 2 px (camera_calibrator.cc:181-201).
+    mask3 = layout.free_mask()
+    params, cost, it3 = _run_ba_stage(params, mask3, view_w, obs, valid, board_pts,
+                                      model.name, opts.max_iters)
+    rmse, _ = _per_view_rmse(params, obs, valid, board_pts, model.name)
+    view_w = view_w * (rmse < opts.stage3_prune_px)
+    params, cost, it4 = _run_ba_stage(params, mask3, view_w, obs, valid, board_pts,
+                                      model.name, opts.max_iters)
+
+    rmse, good = _per_view_rmse(params, obs, valid, board_pts, model.name)
+    active = np.asarray(view_w) > 0
+    err = float(mean_reproj_error(params, obs, valid, board_pts, model.name, view_w))
+
+    calib = CameraCalibration(
+        model_name=model.name, params=np.asarray(params["cam"]),
+        image_size=dataset.image_size, mean_reproj_error=err, fps=dataset.fps)
+    details = {
+        "picked_views": picked, "active": active,
+        "q_cw": np.asarray(params["q_cw"]), "t_cw": np.asarray(params["t_cw"]),
+        "per_view_rmse": np.asarray(rmse), "iters": [int(it1), int(it2), int(it3), int(it4)],
+        "init_focal": f0,
+    }
+    return calib, details

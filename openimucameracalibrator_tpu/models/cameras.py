@@ -49,6 +49,24 @@ class CameraModel:
     def num_params(self) -> int:
         return len(self.param_names)
 
+    @property
+    def param_groups(self) -> Dict[str, list]:
+        """Indices by role, for the staged BA schedule (focal/pp/distortion).
+
+        Mirrors the reference's per-stage SetParameterBlockVariable choices
+        (camera_calibrator.cc:131-219): stage 1 frees focal+distortion,
+        stage 2 frees the principal point, stage 3 frees everything.
+        """
+        groups = {"focal": [], "pp": [], "dist": []}
+        for i, n in enumerate(self.param_names):
+            if n in ("fx", "fy", "f"):
+                groups["focal"].append(i)
+            elif n in ("cx", "cy"):
+                groups["pp"].append(i)
+            else:
+                groups["dist"].append(i)
+        return groups
+
 
 def _safe_div(a, b):
     return a / jnp.where(jnp.abs(b) > _EPS, b, jnp.where(b >= 0, _EPS, -_EPS))

@@ -1,0 +1,198 @@
+"""Batched pose initialization: homography DLT, Zhang focal init, PnP, RANSAC.
+
+TPU-native replacement for the reference's TheiaSfM RANSAC pose solvers
+(/root/reference src/utils/intrinsic_initializer.cc:36-134 — P4P-focal and
+radial-P4P uncalibrated pose — and src/core/pose_estimator.cc:54-90 —
+calibrated DLS PnP). Design differences:
+
+* The target is planar, so uncalibrated initialization uses normalized-DLT
+  homographies + Zhang's closed-form focal estimate over all views at once
+  (batched SVDs), instead of per-view minimal solvers.
+* Calibrated pose uses 6-point DLT inside a fixed-size hypothesis batch:
+  RANSAC is ``vmap`` over K random subsets + argmax inlier count — no
+  data-dependent loop trip counts, so the whole thing jits.
+
+All functions take a ``valid`` mask alongside points so padded (static
+shape) per-view corner arrays work under jit.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from openimucameracalibrator_tpu.ops import lie
+
+
+def _masked_normalization(x: jax.Array, mask: jax.Array):
+    """Hartley normalization stats over masked 2D points: (centroid, scale)."""
+    w = mask[..., None]
+    n = jnp.maximum(jnp.sum(mask, -1), 1.0)[..., None]
+    c = jnp.sum(x * w, axis=-2) / n
+    d = jnp.sqrt(jnp.sum((x - c[..., None, :]) ** 2, -1) + 1e-12)
+    mean_d = jnp.sum(d * mask, -1) / n[..., 0]
+    s = jnp.sqrt(2.0) / jnp.maximum(mean_d, 1e-9)
+    return c, s
+
+
+def homography_dlt(obj_xy: jax.Array, img_xy: jax.Array, mask: jax.Array) -> jax.Array:
+    """Normalized DLT homography: obj plane (z=0) -> image. Batched.
+
+    obj_xy, img_xy: (..., P, 2); mask: (..., P). Returns (..., 3, 3) with
+    H[2,2] scaled so ||H||_F = 1 (sign fixed so H[2,2] >= 0).
+    """
+    co, so = _masked_normalization(obj_xy, mask)
+    ci, si = _masked_normalization(img_xy, mask)
+    o = (obj_xy - co[..., None, :]) * so[..., None, None]
+    p = (img_xy - ci[..., None, :]) * si[..., None, None]
+    x, y = o[..., 0], o[..., 1]
+    u, v = p[..., 0], p[..., 1]
+    zero = jnp.zeros_like(x)
+    one = jnp.ones_like(x)
+    r1 = jnp.stack([x, y, one, zero, zero, zero, -u * x, -u * y, -u], -1)
+    r2 = jnp.stack([zero, zero, zero, x, y, one, -v * x, -v * y, -v], -1)
+    A = jnp.concatenate([r1 * mask[..., None], r2 * mask[..., None]], axis=-2)
+    # h = right singular vector of smallest singular value.
+    _, _, vt = jnp.linalg.svd(A, full_matrices=False)
+    h = vt[..., -1, :]
+    Hn = h.reshape(h.shape[:-1] + (3, 3))
+    # Denormalize: H = Ti^{-1} Hn To
+    def tmat(c, s):
+        z = jnp.zeros_like(s)
+        o_ = jnp.ones_like(s)
+        return jnp.stack([
+            jnp.stack([s, z, -s * c[..., 0]], -1),
+            jnp.stack([z, s, -s * c[..., 1]], -1),
+            jnp.stack([z, z, o_], -1)], -2)
+
+    To = tmat(co, so)
+    Ti = tmat(ci, si)
+    H = jnp.linalg.solve(Ti, Hn @ To)
+    nrm = jnp.linalg.norm(H, axis=(-2, -1), keepdims=True)
+    H = H / nrm
+    sign = jnp.where(H[..., 2:3, 2:3] < 0, -1.0, 1.0)
+    return H * sign
+
+
+def zhang_focal(Hs: jax.Array, valid: jax.Array) -> jax.Array:
+    """Closed-form shared focal from view homographies (Zhang 2000).
+
+    Homographies must be expressed with pixel coordinates centered on the
+    assumed principal point. Returns a scalar focal estimate (median over
+    both constraint families across valid views). This replaces the
+    reference's P4P-focal RANSAC initialization
+    (intrinsic_initializer.cc:36-67) for the planar-target case.
+    """
+    h1 = Hs[..., :, 0]
+    h2 = Hs[..., :, 1]
+    # Constraint 1: h1' w h2 = 0, w = diag(1/f^2, 1/f^2, 1)
+    num1 = -(h1[..., 2] * h2[..., 2])
+    den1 = h1[..., 0] * h2[..., 0] + h1[..., 1] * h2[..., 1]
+    inv_f2_a = num1 / jnp.where(jnp.abs(den1) > 1e-12, den1, 1e-12)
+    # Constraint 2: h1' w h1 = h2' w h2
+    num2 = h2[..., 2] ** 2 - h1[..., 2] ** 2
+    den2 = (h1[..., 0] ** 2 + h1[..., 1] ** 2 - h2[..., 0] ** 2 - h2[..., 1] ** 2)
+    inv_f2_b = num2 / jnp.where(jnp.abs(den2) > 1e-12, den2, 1e-12)
+    cands = jnp.concatenate([inv_f2_a, inv_f2_b], axis=-1)
+    ok = jnp.concatenate([valid, valid], axis=-1) & (cands > 1e-12) & jnp.isfinite(cands)
+    # Masked median: sort with invalid pushed to +inf, index by count/2.
+    vals = jnp.where(ok, cands, jnp.inf)
+    vals = jnp.sort(vals, axis=-1)
+    k = jnp.maximum(jnp.sum(ok, -1), 1)
+    med = jnp.take_along_axis(vals, ((k - 1) // 2)[..., None], axis=-1)[..., 0]
+    return 1.0 / jnp.sqrt(jnp.maximum(med, 1e-12))
+
+
+def pose_from_homography(H: jax.Array, f, cc: jax.Array):
+    """Decompose plane homography into (q_cam_board, t) given focal/pp.
+
+    Returns the transform mapping board coordinates into the camera frame.
+    """
+    Kinv_diag = jnp.stack([1.0 / f, 1.0 / f, jnp.ones_like(f)], -1)
+    Hc = H.at[..., 0, :].add(-cc[..., 0, None] * H[..., 2, :])
+    Hc = Hc.at[..., 1, :].add(-cc[..., 1, None] * H[..., 2, :])
+    M = Kinv_diag[..., :, None] * Hc
+    m1, m2, m3 = M[..., :, 0], M[..., :, 1], M[..., :, 2]
+    lam = 1.0 / jnp.maximum(jnp.linalg.norm(m1, axis=-1), 1e-12)
+    # Cheirality: board must be in front (t_z > 0 for a board at z=0 plane
+    # seen from the camera). Flip the homography sign if not.
+    sgn = jnp.where(m3[..., 2] * lam < 0, -1.0, 1.0)[..., None]
+    r1 = m1 * lam[..., None] * sgn
+    r2 = m2 * lam[..., None] * sgn
+    r3 = jnp.cross(r1, r2)
+    R = jnp.stack([r1, r2, r3], axis=-1)
+    # Project onto SO(3).
+    U, _, Vt = jnp.linalg.svd(R)
+    det = jnp.linalg.det(U @ Vt)
+    D = jnp.concatenate([jnp.ones_like(det[..., None]), jnp.ones_like(det[..., None]),
+                         det[..., None]], -1)
+    Rp = (U * D[..., None, :]) @ Vt
+    t = m3 * lam[..., None] * sgn
+    return lie.matrix_to_quat(Rp), t
+
+
+def pnp_dlt(points3d: jax.Array, bearings_xy: jax.Array, mask: jax.Array):
+    """Calibrated DLT PnP from normalized image coords (z=1 plane).
+
+    points3d: (..., P, 3); bearings_xy: (..., P, 2); mask: (..., P).
+    Returns (q_cam_world, t_cam_world): X_cam = R X + t.
+    Needs >= 6 well-spread points (calibration boards have plenty).
+    """
+    X, Y, Z = points3d[..., 0], points3d[..., 1], points3d[..., 2]
+    x, y = bearings_xy[..., 0], bearings_xy[..., 1]
+    zero = jnp.zeros_like(X)
+    one = jnp.ones_like(X)
+    r1 = jnp.stack([X, Y, Z, one, zero, zero, zero, zero, -x * X, -x * Y, -x * Z, -x], -1)
+    r2 = jnp.stack([zero, zero, zero, zero, X, Y, Z, one, -y * X, -y * Y, -y * Z, -y], -1)
+    A = jnp.concatenate([r1 * mask[..., None], r2 * mask[..., None]], axis=-2)
+    _, _, vt = jnp.linalg.svd(A, full_matrices=False)
+    p = vt[..., -1, :].reshape(vt.shape[:-2] + (3, 4))
+    # The DLT solution is +-lambda [R|t]; the correct sign makes the
+    # rotation part have positive determinant (a 3x3 sign flip negates it).
+    s = jnp.sign(jnp.linalg.det(p[..., :3]))[..., None, None]
+    p = p * jnp.where(s == 0, 1.0, s)
+    R_raw = p[..., :3]
+    t_raw = p[..., 3]
+    U, S, Vt = jnp.linalg.svd(R_raw)
+    scale = 3.0 / jnp.maximum(jnp.sum(S, -1), 1e-12)
+    det = jnp.linalg.det(U @ Vt)
+    D = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], -1)
+    R = (U * D[..., None, :]) @ Vt
+    t = t_raw * scale[..., None]
+    return lie.matrix_to_quat(R), t
+
+
+def reprojection_errors_normalized(q, t, points3d, bearings_xy, mask):
+    """Squared reprojection error on the normalized image plane."""
+    pc = lie.quat_rotate(q[..., None, :], points3d) + t[..., None, :]
+    z = pc[..., 2]
+    proj = pc[..., :2] / jnp.where(jnp.abs(z[..., None]) > 1e-9, z[..., None], 1e-9)
+    err2 = jnp.sum((proj - bearings_xy) ** 2, -1)
+    return jnp.where(mask & (z > 1e-6), err2, jnp.inf)
+
+
+def ransac_pnp(points3d: jax.Array, bearings_xy: jax.Array, mask: jax.Array,
+               key: jax.Array, num_hypotheses: int = 128, sample_size: int = 6,
+               inlier_thresh: float = 0.01):
+    """Fixed-size-batch RANSAC PnP (jit-safe).
+
+    Replaces Theia's EstimateCalibratedAbsolutePose + MLE RANSAC
+    (pose_estimator.cc:54-90). Samples ``num_hypotheses`` 6-point subsets,
+    solves all with one batched SVD, scores all, returns the best pose, its
+    inlier mask, and the inlier count.
+    """
+    P = points3d.shape[-2]
+    # Weighted sampling without replacement via Gumbel top-k on valid points.
+    gumbel = -jnp.log(-jnp.log(jax.random.uniform(key, (num_hypotheses, P)) + 1e-12) + 1e-12)
+    scores = jnp.where(mask[None, :], gumbel, -jnp.inf)
+    _, idx = jax.lax.top_k(scores, sample_size)  # (K, S)
+    pts_s = jnp.take(points3d, idx, axis=0)
+    brg_s = jnp.take(bearings_xy, idx, axis=0)
+    msk_s = jnp.take(mask, idx, axis=0)
+    qs, ts = pnp_dlt(pts_s, brg_s, msk_s)
+    errs = reprojection_errors_normalized(
+        qs, ts, points3d[None], bearings_xy[None], mask[None])  # (K, P)
+    inl = errs < inlier_thresh ** 2
+    counts = jnp.sum(inl, -1)
+    best = jnp.argmax(counts)
+    return qs[best], ts[best], inl[best], counts[best]
