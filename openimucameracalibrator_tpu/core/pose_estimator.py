@@ -1,0 +1,134 @@
+"""Per-frame camera pose estimation with fixed intrinsics.
+
+TPU-native equivalent of the reference's PoseEstimator
+(/root/reference src/core/pose_estimator.cc:92-191
+``EstimatePosesFromJson``): undistort corners to the normalized image
+plane, calibrated PnP RANSAC per view, per-view pose refinement, reproj /
+median-z outlier filtering.
+
+Design differences: every view is processed simultaneously — RANSAC is a
+(views x hypotheses) batch, refinement is a vmapped fixed-iteration
+damped Gauss-Newton on the 6-dof pose (poses are independent given
+intrinsics, so there is no global solve; H is 6x6 per view). One jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openimucameracalibrator_tpu.models import cameras
+from openimucameracalibrator_tpu.ops import lie, pnp
+from openimucameracalibrator_tpu.utils.types import CameraCalibration, CornerDataset, PoseDataset
+
+
+@dataclasses.dataclass
+class PoseEstimatorOptions:
+    min_num_points: int = 8  # pose_estimator.h:72
+    num_hypotheses: int = 128
+    refine_iters: int = 15
+    # Reprojection inlier threshold as a fraction of image height
+    # (pose_estimator.cc:94-101 uses 0.4% of height, normalized).
+    ransac_thresh_frac: float = 0.004
+    max_view_rmse_px: float = 2.0
+    median_z_tol: float = 0.5  # relative deviation allowed (FilterBadPoses)
+
+
+def _refine_pose_gn(q0, t0, pts3d, xy, w, iters: int):
+    """Fixed-iteration damped GN on one view's 6-dof pose (vmapped)."""
+
+    def residual(delta, q, t):
+        qd = lie.quat_boxplus(q, delta[:3])
+        td = t + delta[3:]
+        pc = lie.quat_rotate(qd[None], pts3d) + td[None]
+        z = jnp.maximum(pc[..., 2], 1e-6)
+        r = (pc[..., :2] / z[..., None] - xy) * w[..., None]
+        return r.reshape(-1)
+
+    def body(carry, _):
+        q, t = carry
+        delta0 = jnp.zeros(6, dtype=t.dtype)
+        r = residual(delta0, q, t)
+        J = jax.jacfwd(residual)(delta0, q, t)
+        H = J.T @ J + 1e-8 * jnp.eye(6, dtype=t.dtype)
+        g = J.T @ r
+        delta = -jnp.linalg.solve(H, g)
+        return (lie.quat_boxplus(q, delta[:3]), t + delta[3:]), None
+
+    (q, t), _ = jax.lax.scan(body, (q0, t0), None, length=iters)
+    return q, t
+
+
+@functools.partial(jax.jit, static_argnames=("model_name", "num_hypotheses", "refine_iters"))
+def _estimate_all_poses(cam_params, obs, valid, board_pts, key,
+                        model_name: str, num_hypotheses: int, refine_iters: int,
+                        ransac_thresh: float):
+    model = cameras.get_model(model_name)
+    # Undistort to normalized image plane (pose_estimator.cc:102-110).
+    bearings = model.unproject(cam_params, obs)
+    z = jnp.maximum(bearings[..., 2], 1e-6)
+    xy = bearings[..., :2] / z[..., None]
+
+    keys = jax.random.split(key, obs.shape[0])
+
+    def per_view(xy_v, valid_v, key_v):
+        # Boards are planar: homography-decomposition hypotheses (the 3D
+        # DLT is degenerate for coplanar points).
+        q, t, inl, cnt = pnp.ransac_pnp_planar(
+            board_pts, xy_v, valid_v, key_v,
+            num_hypotheses=num_hypotheses, inlier_thresh=ransac_thresh)
+        w = (inl & valid_v).astype(xy_v.dtype)
+        q, t = _refine_pose_gn(q, t, board_pts, xy_v, w, refine_iters)
+        # Final per-view reproj error on inliers (normalized units).
+        pc = lie.quat_rotate(q[None], board_pts) + t[None]
+        zz = jnp.maximum(pc[..., 2], 1e-6)
+        err2 = jnp.sum((pc[..., :2] / zz[..., None] - xy_v) ** 2, -1)
+        rmse = jnp.sqrt(jnp.sum(err2 * w) / jnp.maximum(jnp.sum(w), 1.0))
+        return q, t, cnt, rmse
+
+    return jax.vmap(per_view)(xy, valid, keys)
+
+
+def estimate_poses(dataset: CornerDataset, calib: CameraCalibration,
+                   options: PoseEstimatorOptions | None = None,
+                   seed: int = 0) -> PoseDataset:
+    """Estimate camera-to-world poses for every frame. Returns PoseDataset
+    (invalid frames flagged, not dropped, to keep shapes static)."""
+    opts = options or PoseEstimatorOptions()
+    model = cameras.get_model(calib.model_name)
+    dt = jnp.float64 if jnp.asarray(calib.params).dtype == jnp.float64 else jnp.float32
+    cam_params = jnp.asarray(calib.params, dt)
+    obs = jnp.asarray(dataset.points2d, dt)
+    valid = jnp.asarray(dataset.valid)
+    board_pts = jnp.asarray(dataset.board_points, dt)
+    w, h = dataset.image_size
+    # Normalized-plane threshold: fraction of image height / focal
+    # (pose_estimator.cc:94-101).
+    focal = float(np.asarray(calib.params)[model.param_groups["focal"][0]])
+    thresh = opts.ransac_thresh_frac * h / focal
+
+    q_cw, t_cw, counts, rmse = _estimate_all_poses(
+        cam_params, obs, valid, board_pts, jax.random.PRNGKey(seed),
+        model.name, opts.num_hypotheses, opts.refine_iters, thresh)
+
+    counts = np.asarray(counts)
+    rmse_px = np.asarray(rmse) * focal
+    ok = (counts >= opts.min_num_points) & (rmse_px < opts.max_view_rmse_px)
+
+    # Median-z filter on camera height above the board plane
+    # (pose_estimator.cc:238-261): reject poses whose distance to the board
+    # deviates grossly from the median.
+    q_wc, t_wc = lie.se3_inverse(jnp.asarray(q_cw), jnp.asarray(t_cw))
+    t_wc = np.asarray(t_wc)
+    if ok.any():
+        med = np.median(t_wc[ok, 2])
+        dev = np.abs(t_wc[:, 2] - med)
+        ok &= dev < np.maximum(opts.median_z_tol * abs(med), 0.3)
+
+    return PoseDataset(
+        times=np.asarray(dataset.times), q_w_c=np.asarray(q_wc),
+        t_w_c=t_wc, valid=ok, board_points=np.asarray(dataset.board_points))

@@ -171,6 +171,34 @@ def reprojection_errors_normalized(q, t, points3d, bearings_xy, mask):
     return jnp.where(mask & (z > 1e-6), err2, jnp.inf)
 
 
+def ransac_pnp_planar(points3d: jax.Array, bearings_xy: jax.Array, mask: jax.Array,
+                      key: jax.Array, num_hypotheses: int = 128, sample_size: int = 6,
+                      inlier_thresh: float = 0.01):
+    """RANSAC pose for PLANAR targets (z == 0) from normalized image coords.
+
+    The 3D DLT is degenerate for coplanar points, so hypotheses come from
+    minimal homographies (board plane -> normalized image plane) decomposed
+    with f=1, pp=0. Same fixed-size batched structure as :func:`ransac_pnp`.
+    """
+    P = points3d.shape[-2]
+    gumbel = -jnp.log(-jnp.log(jax.random.uniform(key, (num_hypotheses, P)) + 1e-12) + 1e-12)
+    scores = jnp.where(mask[None, :], gumbel, -jnp.inf)
+    _, idx = jax.lax.top_k(scores, sample_size)
+    obj_s = jnp.take(points3d[:, :2], idx, axis=0)
+    brg_s = jnp.take(bearings_xy, idx, axis=0)
+    msk_s = jnp.take(mask, idx, axis=0).astype(bearings_xy.dtype)
+    Hs = homography_dlt(obj_s, brg_s, msk_s)
+    f1 = jnp.ones((num_hypotheses,), bearings_xy.dtype)
+    cc0 = jnp.zeros((num_hypotheses, 2), bearings_xy.dtype)
+    qs, ts = pose_from_homography(Hs, f1, cc0)
+    errs = reprojection_errors_normalized(
+        qs, ts, points3d[None], bearings_xy[None], mask[None])
+    inl = errs < inlier_thresh ** 2
+    counts = jnp.sum(inl, -1)
+    best = jnp.argmax(counts)
+    return qs[best], ts[best], inl[best], counts[best]
+
+
 def ransac_pnp(points3d: jax.Array, bearings_xy: jax.Array, mask: jax.Array,
                key: jax.Array, num_hypotheses: int = 128, sample_size: int = 6,
                inlier_thresh: float = 0.01):
