@@ -1,0 +1,194 @@
+"""Board corner extraction from videos / image folders.
+
+Equivalent of the reference's BoardExtractor
+(/root/reference src/core/board_extractor.cc:127-482: ExtractBoard /
+ExtractVideoToJson / ExtractImageFolderToJson) and the board-PNG generator
+(applications/create_charuco_board.cc:30-67).
+
+Detection runs host-side on OpenCV (the reference uses the same detectors:
+aruco/charuco for charuco boards :135-173, findChessboardCornersSB for
+radon boards :205, apriltag grids via the AprilTag 36h11 dictionary
+:226-232). Output is the statically-shaped CornerDataset artifact the
+TPU pipeline consumes; a Pallas corner-refinement path can slot in behind
+the same interface.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Iterable, Iterator, Tuple
+
+import numpy as np
+
+from openimucameracalibrator_tpu.models import boards as boards_mod
+from openimucameracalibrator_tpu.utils.types import CornerDataset
+
+
+@dataclasses.dataclass
+class BoardExtractorOptions:
+    board_type: str = "charuco"
+    squares_x: int = 10
+    squares_y: int = 8
+    square_length: float = 0.04
+    marker_length: float = 0.03
+    aruco_dict: str = "DICT_ARUCO_ORIGINAL"  # board_extractor.cc:46 default
+    downsample_factor: float = 1.0  # resize 1/f (board_extractor.cc:414-430)
+    verbose: bool = False
+
+
+def _cv2():
+    import cv2
+    return cv2
+
+
+def _make_charuco_detector(opts: BoardExtractorOptions):
+    cv2 = _cv2()
+    adict = cv2.aruco.getPredefinedDictionary(getattr(cv2.aruco, opts.aruco_dict))
+    board = cv2.aruco.CharucoBoard(
+        (opts.squares_x, opts.squares_y), opts.square_length, opts.marker_length,
+        adict)
+    params = cv2.aruco.CharucoParameters()
+    det_params = cv2.aruco.DetectorParameters()
+    det_params.cornerRefinementMethod = cv2.aruco.CORNER_REFINE_SUBPIX
+    return cv2.aruco.CharucoDetector(board, params, det_params), board
+
+
+def detect_charuco(gray: np.ndarray, detector) -> Tuple[np.ndarray, np.ndarray]:
+    """(corner ids (K,), corners (K, 2)) for one grayscale frame."""
+    corners, ids, _, _ = detector.detectBoard(gray)
+    if corners is None or ids is None or len(corners) == 0:
+        return np.zeros((0,), np.int64), np.zeros((0, 2), np.float64)
+    return ids.reshape(-1).astype(np.int64), corners.reshape(-1, 2).astype(np.float64)
+
+
+def detect_radon(gray: np.ndarray, opts: BoardExtractorOptions):
+    """findChessboardCornersSB path (board_extractor.cc:205)."""
+    cv2 = _cv2()
+    nx, ny = opts.squares_x - 1, opts.squares_y - 1
+    found, corners = cv2.findChessboardCornersSB(
+        gray, (nx, ny), flags=cv2.CALIB_CB_ACCURACY)
+    if not found:
+        return np.zeros((0,), np.int64), np.zeros((0, 2), np.float64)
+    return np.arange(nx * ny, dtype=np.int64), corners.reshape(-1, 2).astype(np.float64)
+
+
+def _make_apriltag_detector(opts: BoardExtractorOptions):
+    cv2 = _cv2()
+    adict = cv2.aruco.getPredefinedDictionary(cv2.aruco.DICT_APRILTAG_36h11)
+    det_params = cv2.aruco.DetectorParameters()
+    det_params.cornerRefinementMethod = cv2.aruco.CORNER_REFINE_SUBPIX
+    return cv2.aruco.ArucoDetector(adict, det_params)
+
+
+def detect_apriltag(gray: np.ndarray, detector):
+    """Kalibr-style aprilgrid: tag t corner c -> id 4*t + c."""
+    corners, ids, _ = detector.detectMarkers(gray)
+    if ids is None or len(ids) == 0:
+        return np.zeros((0,), np.int64), np.zeros((0, 2), np.float64)
+    out_ids, out_pts = [], []
+    for tag_id, cs in zip(ids.reshape(-1), corners):
+        for c in range(4):
+            out_ids.append(4 * int(tag_id) + c)
+            out_pts.append(cs[0, c])
+    return np.asarray(out_ids, np.int64), np.asarray(out_pts, np.float64)
+
+
+def iter_video_frames(video_path: str, downsample: float = 1.0) -> Iterator[tuple]:
+    """(timestamp_s, gray frame) per video frame (board_extractor.cc:385-430).
+
+    Tolerates up to 500 consecutive bad reads like the reference
+    (:415-418).
+    """
+    cv2 = _cv2()
+    cap = cv2.VideoCapture(video_path)
+    if not cap.isOpened():
+        raise FileNotFoundError(video_path)
+    bad = 0
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            bad += 1
+            if bad > 500:
+                break
+            if cap.get(cv2.CAP_PROP_POS_FRAMES) >= cap.get(cv2.CAP_PROP_FRAME_COUNT):
+                break
+            continue
+        bad = 0
+        t = cap.get(cv2.CAP_PROP_POS_MSEC) * 1e-3
+        if downsample and downsample != 1.0:
+            frame = cv2.resize(frame, None, fx=1.0 / downsample, fy=1.0 / downsample)
+        gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
+        yield t, gray
+    cap.release()
+
+
+def extract_board(frames: Iterable[tuple], opts: BoardExtractorOptions,
+                  fps: float = 0.0) -> CornerDataset:
+    """Detect board corners on an iterable of (time_s, gray) frames."""
+    board = boards_mod.make_board(opts.board_type, opts.squares_x, opts.squares_y,
+                                  opts.square_length, opts.marker_length)
+    bt = boards_mod.BoardType(opts.board_type.lower())
+    if bt == boards_mod.BoardType.CHARUCO:
+        detector, _ = _make_charuco_detector(opts)
+        detect = lambda g: detect_charuco(g, detector)
+    elif bt == boards_mod.BoardType.RADON:
+        detect = lambda g: detect_radon(g, opts)
+    else:
+        detector = _make_apriltag_detector(opts)
+        detect = lambda g: detect_apriltag(g, detector)
+
+    times, all_ids, all_pts = [], [], []
+    shape = None
+    for t, gray in frames:
+        shape = gray.shape
+        ids, pts = detect(gray)
+        times.append(t)
+        all_ids.append(ids)
+        all_pts.append(pts)
+
+    P = board.num_points
+    V = len(times)
+    pts2d = np.zeros((V, P, 2), np.float64)
+    valid = np.zeros((V, P), bool)
+    for v, (ids, pts) in enumerate(zip(all_ids, all_pts)):
+        keep = ids < P
+        pts2d[v, ids[keep]] = pts[keep]
+        valid[v, ids[keep]] = True
+    image_size = (shape[1], shape[0]) if shape is not None else (0, 0)
+    if fps == 0.0 and len(times) > 1:
+        dts = np.diff(times)
+        fps = 1.0 / float(np.median(dts[dts > 0])) if (np.asarray(dts) > 0).any() else 0.0
+    return CornerDataset(times=np.asarray(times), points2d=pts2d, valid=valid,
+                         board_points=board.points, image_size=image_size, fps=fps)
+
+
+def extract_board_from_video(video_path: str, opts: BoardExtractorOptions) -> CornerDataset:
+    return extract_board(iter_video_frames(video_path, opts.downsample_factor), opts)
+
+
+def extract_board_from_image_folder(folder: str, fps: float,
+                                    opts: BoardExtractorOptions) -> CornerDataset:
+    """Image-folder path (board_extractor.cc:268-383); frame time = k/fps."""
+    cv2 = _cv2()
+    files = sorted(os.listdir(folder))
+    files = [f for f in files if f.lower().endswith((".png", ".jpg", ".jpeg", ".bmp"))]
+
+    def gen():
+        for k, fname in enumerate(files):
+            img = cv2.imread(os.path.join(folder, fname), cv2.IMREAD_GRAYSCALE)
+            if img is None:
+                continue
+            yield k / fps, img
+
+    return extract_board(gen(), opts, fps=fps)
+
+
+def render_charuco_board_image(opts: BoardExtractorOptions, px_per_square: int = 100,
+                               margin_px: int = 20) -> np.ndarray:
+    """Printable board PNG (create_charuco_board.cc:30-67)."""
+    cv2 = _cv2()
+    _, board = _make_charuco_detector(opts)
+    size = (opts.squares_x * px_per_square + 2 * margin_px,
+            opts.squares_y * px_per_square + 2 * margin_px)
+    return board.generateImage(size, marginSize=margin_px)

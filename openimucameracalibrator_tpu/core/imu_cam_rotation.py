@@ -84,8 +84,22 @@ def estimate_imu_to_camera_rotation(poses: PoseDataset, imu: ImuData,
     """
     opts = options or RotationEstimatorOptions()
     ok = poses.valid
-    vis_t = jnp.asarray(poses.times[ok])
-    q = jnp.asarray(poses.q_w_c[ok])
+    pose_t = jnp.asarray(poses.times[ok])
+    q_poses = jnp.asarray(poses.q_w_c[ok])
+    # Fix quaternion hemisphere continuity before slerp.
+    qn = np.array(q_poses)
+    for k in range(1, qn.shape[0]):
+        if np.dot(qn[k], qn[k - 1]) < 0:
+            qn[k] = -qn[k]
+    q_poses = jnp.asarray(qn)
+
+    # Resample the visual orientation to the IMU rate, then differentiate
+    # and smooth BOTH signals with the same window at the same rate
+    # (matching the reference, which interpolates visual quats to IMU rate
+    # before differentiation, imu_to_camera_rotation_estimator.cc:168-218).
+    imu_rate_dt = float(np.median(np.diff(imu.times)))
+    vis_t = jnp.asarray(np.arange(float(pose_t[0]), float(pose_t[-1]), imu_rate_dt))
+    q = interpolation.interp_quaternion(pose_t, q_poses, vis_t)
     omega_vis = visual_angular_velocity(vis_t, q)
     omega_vis_s = interpolation.moving_average(omega_vis, opts.smooth_window)
     gyro_s = interpolation.moving_average(jnp.asarray(imu.gyro), opts.smooth_window)

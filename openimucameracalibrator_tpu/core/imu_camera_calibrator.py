@@ -1,0 +1,101 @@
+"""Session facade for continuous-time IMU-camera calibration.
+
+Equivalent of the reference's ImuCameraCalibrator
+(/root/reference src/core/imu_camera_calibrator.cc:21-168) plus the driver
+logic of applications/continuous_time_imu_to_camera_calibration.cc:91-456:
+build the spline problem from corners + poses + telemetry + SEW + the
+gyro-camera init, run the batch optimization, optionally refine the
+rolling-shutter line delay, and report the result artifact.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from openimucameracalibrator_tpu.core import spline_estimator as se
+from openimucameracalibrator_tpu.ops import lie
+from openimucameracalibrator_tpu.solver import lm
+from openimucameracalibrator_tpu.utils.types import (CameraCalibration, CornerDataset,
+                                                     ImuCameraInit, ImuData,
+                                                     PoseDataset, SplineWeightingData)
+
+
+@dataclasses.dataclass
+class ImuCameraCalibrationResult:
+    q_i_c: np.ndarray  # camera-to-IMU rotation (T_w_c = T_w_i * T_i_c)
+    t_i_c: np.ndarray
+    time_offset: float
+    gravity: np.ndarray
+    line_delay: float
+    mean_reproj_error: float
+    final_cost: float
+    iterations: int
+    params: dict  # full spline parameter dict
+    problem: se.SplineProblem
+
+
+def calibrate_imu_camera(corners: CornerDataset, calib: CameraCalibration,
+                         poses: PoseDataset, imu: ImuData,
+                         init: ImuCameraInit, sew: SplineWeightingData,
+                         *, rolling_shutter: bool = False,
+                         image_height: int | None = None,
+                         accel_bias0=None, gyro_bias0=None,
+                         optimize_gravity: bool = True,
+                         refine_time_offset: bool = True,
+                         max_iters: int = 50, line_delay_iters: int = 10,
+                         dtype=jnp.float64) -> ImuCameraCalibrationResult:
+    """Full batch calibration (reference stage 8).
+
+    ``init.q_gyro_to_cam`` maps IMU-frame vectors into the camera frame
+    (omega_cam = R omega_imu), so the extrinsic rotation q_i_c (camera
+    frame -> IMU frame as used in T_w_c = T_w_i * T_i_c) is its conjugate.
+    """
+    problem = se.build_problem(corners, calib, imu, sew, init.time_offset,
+                               rolling_shutter, dtype=dtype)
+    q_i_c0 = np.asarray(lie.quat_conjugate(jnp.asarray(init.q_gyro_to_cam, dtype)))
+    params0 = se.init_spline_params(poses, q_i_c0, np.zeros(3), problem, imu,
+                                    pose_time_offset=init.time_offset, dtype=dtype)
+    if gyro_bias0 is None:
+        gyro_bias0 = init.gyro_bias
+    params0["bias_g"] = jnp.broadcast_to(
+        jnp.asarray(gyro_bias0, dtype), params0["bias_g"].shape)
+    if accel_bias0 is not None:
+        params0["bias_a"] = jnp.broadcast_to(
+            jnp.asarray(accel_bias0, dtype), params0["bias_a"].shape)
+    if rolling_shutter:
+        # init_line_delay = 1/fps/img_height (continuous_time...cc:186-189)
+        h = image_height or corners.image_size[1]
+        fps = sew.cam_fps or 30.0
+        params0["line_delay"] = jnp.asarray([1.0 / fps / h], dtype)
+
+    flags = {se.SPLINE, se.T_I_C, se.IMU_BIASES}
+    if optimize_gravity:
+        flags.add(se.GRAVITY_DIR)
+    res = se.optimize(problem, params0, frozenset(flags), max_iters=max_iters)
+    iters = int(res.iterations)
+    params = res.params
+    stage2 = set()
+    if rolling_shutter:
+        stage2.add(se.CAM_LINE_DELAY)  # continuous_time...cc:218-221
+    if refine_time_offset:
+        # Improvement over the reference: refine the vision/IMU time offset
+        # jointly (the init carries RS + pose-noise bias; see TIME_OFFSET).
+        stage2.add(se.TIME_OFFSET)
+    if stage2 and line_delay_iters > 0:
+        res2 = se.optimize(problem, params, frozenset(flags | stage2),
+                           max_iters=line_delay_iters)
+        params = res2.params
+        iters += int(res2.iterations)
+        res = res2
+
+    err = se.mean_reprojection_error(problem, params)
+    return ImuCameraCalibrationResult(
+        q_i_c=np.asarray(params["q_i_c"]), t_i_c=np.asarray(params["t_i_c"]),
+        time_offset=init.time_offset + float(params["time_offset"][0]),
+        gravity=np.asarray(params["gravity"]),
+        line_delay=float(params["line_delay"][0]),
+        mean_reproj_error=err, final_cost=float(res.cost), iterations=iters,
+        params=params, problem=problem)

@@ -1,0 +1,534 @@
+"""Continuous-time B-spline IMU+camera batch calibration.
+
+TPU-native replacement for the reference's SplineTrajectoryEstimator<N=6>
+(/root/reference include/OpenCameraCalibrator/core/
+spline_trajectory_estimator.h + .impl.h) and its Ceres cost functors
+(basalt_spline/ceres_calib_split_residuals.h). The trajectory is a split
+cumulative SO(3) x R^3 uniform B-spline (order 6) with order-3 bias
+splines, gravity, T_imu_cam, and rolling-shutter line delay as parameters.
+
+Architecture (vs. the reference's Ceres problem):
+
+* Measurements live in three statically-shaped batches (accelerometer,
+  gyroscope, per-observation reprojection). Each measurement touches a
+  static window of knots (6 SO3 + 6 R3 + 3 bias), so its Jacobian w.r.t.
+  a LOCAL tangent vector (<=48 dims) is a small dense block computed by
+  ``vmap(jacfwd)`` — the TPU analog of Ceres' autodiff cost functors
+  (ceres_calib_split_residuals.h:23-410).
+* Normal equations are assembled by scatter-adding the J^T J blocks into a
+  dense (D, D) matrix (D = total tangent dim, a few thousand), chunked to
+  bound memory. The band structure (block-banded H) is what makes this
+  exact and cheap — the dense Cholesky solve replaces Ceres
+  SPARSE_NORMAL_CHOLESKY (impl.h:254-276).
+* Parameter fixing (the reference's SplineOptimFlags bitmask,
+  spline_trajectory_estimator.h:17-27 / SetFixedParams impl.h:92-252) is a
+  0/1 mask over the tangent vector; one compiled solver serves every flag
+  combination.
+* Rolling shutter: each observation's capture time is t_frame +
+  line_delay * row (impl.h:344-346). The knot-window index uses
+  stop_gradient(t) so shapes/gathers stay fixed while the in-segment
+  coordinate u keeps the line-delay gradient.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openimucameracalibrator_tpu.models import cameras
+from openimucameracalibrator_tpu.ops import interpolation, lie, spline
+from openimucameracalibrator_tpu.solver import blocks, lm, robust
+from openimucameracalibrator_tpu.utils.types import (CameraCalibration, CornerDataset,
+                                                     ImuData, PoseDataset,
+                                                     SplineWeightingData)
+
+ORDER = 6  # imu_camera_calibrator.h:27 (SPLINE_N)
+BIAS_ORDER = 3  # ceres_calib_split_residuals.h:21 (BIAS_SPLINE_N)
+HUBER_PX = 1.345
+
+
+# Optimization flag names (SplineOptimFlags equivalent).
+SPLINE = "spline"
+T_I_C = "t_i_c"
+IMU_BIASES = "imu_biases"
+GRAVITY_DIR = "gravity"
+CAM_LINE_DELAY = "line_delay"
+# Extension over the reference: the vision-vs-IMU time offset can be refined
+# inside the batch problem (the reference freezes it after the golden-section
+# init, which carries an O(line_delay * image_height / 2) rolling-shutter
+# bias plus pose-noise error).
+TIME_OFFSET = "time_offset"
+DEFAULT_FLAGS = frozenset({SPLINE, T_I_C, IMU_BIASES, GRAVITY_DIR})
+
+
+class SplineProblem(NamedTuple):
+    """Static measurement batches + spline metadata (all times IMU clock)."""
+
+    # spline meta (python floats/ints -> static under jit)
+    t0: float
+    dt_so3: float
+    dt_r3: float
+    dt_bias: float
+    n_so3: int
+    n_r3: int
+    n_bias: int
+    # accelerometer
+    accel_t: jnp.ndarray  # (Ma,)
+    accel_meas: jnp.ndarray  # (Ma, 3)
+    accel_valid: jnp.ndarray  # (Ma,)
+    w_accel: float  # 1/std_r3 (imu_camera_calibrator.cc:108-119)
+    # gyroscope
+    gyro_t: jnp.ndarray
+    gyro_meas: jnp.ndarray
+    gyro_valid: jnp.ndarray
+    w_gyro: float
+    # reprojection (per observation)
+    obs_t: jnp.ndarray  # (Mo,) frame time
+    obs_row: jnp.ndarray  # (Mo,) pixel row (for RS)
+    obs_uv: jnp.ndarray  # (Mo, 2)
+    obs_pt: jnp.ndarray  # (Mo, 3) board point
+    obs_valid: jnp.ndarray  # (Mo,)
+    cam_params: jnp.ndarray
+    model_name: str
+    rolling_shutter: bool
+
+
+def build_layout(p: SplineProblem) -> blocks.BlockLayout:
+    return blocks.BlockLayout([
+        blocks.BlockSpec("q_so3", (p.n_so3, 4), "quat"),
+        blocks.BlockSpec("t_r3", (p.n_r3, 3)),
+        blocks.BlockSpec("bias_a", (p.n_bias, 3)),
+        blocks.BlockSpec("bias_g", (p.n_bias, 3)),
+        blocks.BlockSpec("gravity", (3,)),
+        blocks.BlockSpec("q_i_c", (4,), "quat"),
+        blocks.BlockSpec("t_i_c", (3,)),
+        blocks.BlockSpec("line_delay", (1,)),
+        blocks.BlockSpec("time_offset", (1,)),
+    ])
+
+
+def flags_to_fixed(flags: frozenset) -> list:
+    fixed = []
+    if SPLINE not in flags:
+        fixed += ["q_so3", "t_r3"]
+    if T_I_C not in flags:
+        fixed += ["q_i_c", "t_i_c"]
+    if IMU_BIASES not in flags:
+        fixed += ["bias_a", "bias_g"]
+    if GRAVITY_DIR not in flags:
+        fixed += ["gravity"]
+    if CAM_LINE_DELAY not in flags:
+        fixed += ["line_delay"]
+    if TIME_OFFSET not in flags:
+        fixed += ["time_offset"]
+    return fixed
+
+
+# ---------------------------------------------------------------------------
+# Local residuals (one measurement, local tangent delta)
+# ---------------------------------------------------------------------------
+
+def _windows(p: SplineProblem, t):
+    """Window indices + local coords for one time (all three splines)."""
+    i_s, u_s = spline.spline_coords(t, p.t0, p.dt_so3, p.n_so3, ORDER)
+    i_r, u_r = spline.spline_coords(t, p.t0, p.dt_r3, p.n_r3, ORDER)
+    i_b, u_b = spline.spline_coords(t, p.t0, p.dt_bias, p.n_bias, BIAS_ORDER)
+    return (i_s, u_s), (i_r, u_r), (i_b, u_b)
+
+
+def _in_range(p: SplineProblem, t):
+    hi_s = p.t0 + (p.n_so3 - ORDER + 1) * p.dt_so3
+    hi_r = p.t0 + (p.n_r3 - ORDER + 1) * p.dt_r3
+    return (t >= p.t0) & (t < hi_s) & (t < hi_r)
+
+
+def accel_residual_local(delta, qwin, rwin, bwin, gravity, meas, u_s, u_r, u_b, p: SplineProblem):
+    """Accelerometer residual: R(t)^T (a_w + g) - (raw - bias_a(t))
+    (AccelerationCostFunctorSplit, ceres_calib_split_residuals.h:23-104).
+    delta layout: [18 so3 | 18 r3 | 9 bias | 3 gravity] = 48."""
+    qw = lie.quat_boxplus(qwin, delta[0:18].reshape(6, 3))
+    rw = rwin + delta[18:36].reshape(6, 3)
+    bw = bwin + delta[36:45].reshape(3, 3)
+    g = gravity + delta[45:48]
+    q = spline.so3_eval(qw, u_s, ORDER)
+    a_w = spline.r3_eval(rw, u_r, p.dt_r3, 2, ORDER)
+    bias = spline.r3_eval(bw, u_b, p.dt_bias, 0, BIAS_ORDER)
+    r = lie.quat_rotate(lie.quat_conjugate(q), a_w + g) - (meas - bias)
+    return p.w_accel * r
+
+
+def gyro_residual_local(delta, qwin, bwin, meas, u_s, u_b, p: SplineProblem):
+    """Gyroscope residual: omega_body(t) - (raw - bias_g(t))
+    (GyroCostFunctorSplit, ceres_calib_split_residuals.h:106-178).
+    delta layout: [18 so3 | 9 bias] = 27."""
+    qw = lie.quat_boxplus(qwin, delta[0:18].reshape(6, 3))
+    bw = bwin + delta[18:27].reshape(3, 3)
+    _, omega = spline.so3_vel(qw, u_s, p.dt_so3, ORDER)
+    bias = spline.r3_eval(bw, u_b, p.dt_bias, 0, BIAS_ORDER)
+    return p.w_gyro * (omega - (meas - bias))
+
+
+def reproj_residual_local(delta, qwin, rwin, q_ic, t_ic, ld, toff, t_frame, row, uv, pt,
+                          u_s_fn, p: SplineProblem):
+    """Reprojection residual (GS/RS CostFunctorSplit,
+    ceres_calib_split_residuals.h:180-410). delta layout:
+    [18 so3 | 18 r3 | 3 q_ic | 3 t_ic | 1 ld | 1 toff] = 44.
+
+    ``u_s_fn(t)`` maps an (autodiff-traced) capture time to in-segment
+    coordinates, with the window index frozen by the caller.
+    """
+    qw = lie.quat_boxplus(qwin, delta[0:18].reshape(6, 3))
+    rw = rwin + delta[18:36].reshape(6, 3)
+    qic = lie.quat_boxplus(q_ic, delta[36:39])
+    tic = t_ic + delta[39:42]
+    ld_ = ld + delta[42]
+    toff_ = toff + delta[43]
+    t_cap = t_frame + toff_ + (ld_ * row if p.rolling_shutter else 0.0)
+    u_s, u_r = u_s_fn(t_cap)
+    q_wi = spline.so3_eval(qw, u_s, ORDER)
+    p_wi = spline.r3_eval(rw, u_r, p.dt_r3, 0, ORDER)
+    q_wc, t_wc = lie.se3_compose(q_wi, p_wi, qic, tic)
+    q_cw, t_cw = lie.se3_inverse(q_wc, t_wc)
+    p_cam = lie.se3_act(q_cw, t_cw, pt)
+    model = cameras.get_model(p.model_name)
+    uv_pred, ok = model.project(p.cam_params, p_cam)
+    r = uv_pred - uv
+    # Invalid projection -> zero residual (solver-side mask), replacing the
+    # reference's 1e10 sentinel (ceres_calib_split_residuals.h:272-274).
+    return jnp.where(ok & (p_cam[2] > 1e-3), r, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Batched evaluation + assembly
+# ---------------------------------------------------------------------------
+
+def _gather_accel(params, p: SplineProblem):
+    (i_s, u_s), (i_r, u_r), (i_b, u_b) = _windows(p, p.accel_t)
+    qwin = spline.gather_window(params["q_so3"], i_s, ORDER)
+    rwin = spline.gather_window(params["t_r3"], i_r, ORDER)
+    bwin = spline.gather_window(params["bias_a"], i_b, BIAS_ORDER)
+    return qwin, rwin, bwin, (i_s, u_s), (i_r, u_r), (i_b, u_b)
+
+
+def _accel_r_and_idx(params, p: SplineProblem, layout, with_jac: bool):
+    qwin, rwin, bwin, (i_s, u_s), (i_r, u_r), (i_b, u_b) = _gather_accel(params, p)
+    w = (p.accel_valid & _in_range(p, p.accel_t)).astype(p.accel_meas.dtype)
+
+    def res(d, qw, rw, bw, m, us, ur, ub):
+        return accel_residual_local(d, qw, rw, bw, params["gravity"], m, us, ur, ub, p)
+
+    d0 = jnp.zeros((48,), p.accel_meas.dtype)
+    r = jax.vmap(lambda qw, rw, bw, m, us, ur, ub: res(d0, qw, rw, bw, m, us, ur, ub))(
+        qwin, rwin, bwin, p.accel_meas, u_s, u_r, u_b) * w[:, None]
+    J = None
+    if with_jac:
+        J = jax.vmap(lambda qw, rw, bw, m, us, ur, ub: jax.jacfwd(res)(d0, qw, rw, bw, m, us, ur, ub))(
+            qwin, rwin, bwin, p.accel_meas, u_s, u_r, u_b) * w[:, None, None]
+    idx = jnp.concatenate([
+        _win_idx(layout, "q_so3", i_s, ORDER),
+        _win_idx(layout, "t_r3", i_r, ORDER),
+        _win_idx(layout, "bias_a", i_b, BIAS_ORDER),
+        _fixed_idx(layout, "gravity", i_s.shape[0]),
+    ], axis=1)
+    return r, J, idx
+
+
+def _win_idx(layout, name, i0, order):
+    """Global tangent indices of an order-window of a (K, d) block: (M, order*td)."""
+    td = layout.by_name[name].tangent_shape[-1]
+    base = layout.offsets[name] + (i0[:, None] + jnp.arange(order, dtype=i0.dtype)) * td
+    return (base[:, :, None] + jnp.arange(td, dtype=i0.dtype)).reshape(i0.shape[0], order * td)
+
+
+def _fixed_idx(layout, name, m):
+    s = layout.slice_of(name)
+    return jnp.broadcast_to(jnp.arange(s.start, s.stop), (m, s.stop - s.start))
+
+
+def _gyro_r_and_idx(params, p: SplineProblem, layout, with_jac: bool):
+    (i_s, u_s), _, (i_b, u_b) = _windows(p, p.gyro_t)
+    qwin = spline.gather_window(params["q_so3"], i_s, ORDER)
+    bwin = spline.gather_window(params["bias_g"], i_b, BIAS_ORDER)
+    w = (p.gyro_valid & _in_range(p, p.gyro_t)).astype(p.gyro_meas.dtype)
+
+    def res(d, qw, bw, m, us, ub):
+        return gyro_residual_local(d, qw, bw, m, us, ub, p)
+
+    d0 = jnp.zeros((27,), p.gyro_meas.dtype)
+    r = jax.vmap(lambda qw, bw, m, us, ub: res(d0, qw, bw, m, us, ub))(
+        qwin, bwin, p.gyro_meas, u_s, u_b) * w[:, None]
+    J = None
+    if with_jac:
+        J = jax.vmap(lambda qw, bw, m, us, ub: jax.jacfwd(res)(d0, qw, bw, m, us, ub))(
+            qwin, bwin, p.gyro_meas, u_s, u_b) * w[:, None, None]
+    idx = jnp.concatenate([
+        _win_idx(layout, "q_so3", i_s, ORDER),
+        _win_idx(layout, "bias_g", i_b, BIAS_ORDER),
+    ], axis=1)
+    return r, J, idx
+
+
+def _reproj_r_and_idx(params, p: SplineProblem, layout, with_jac: bool):
+    ld = params["line_delay"][0]
+    toff = params["time_offset"][0]
+    t_cap0 = p.obs_t + jax.lax.stop_gradient(toff) + (
+        jax.lax.stop_gradient(ld) * p.obs_row if p.rolling_shutter else 0.0)
+    # Freeze window indices at current line delay; u keeps the gradient.
+    i_s, _ = spline.spline_coords(t_cap0, p.t0, p.dt_so3, p.n_so3, ORDER)
+    i_r, _ = spline.spline_coords(t_cap0, p.t0, p.dt_r3, p.n_r3, ORDER)
+    qwin = spline.gather_window(params["q_so3"], i_s, ORDER)
+    rwin = spline.gather_window(params["t_r3"], i_r, ORDER)
+    w = (p.obs_valid & _in_range(p, t_cap0)).astype(p.obs_uv.dtype)
+
+    def res(d, qw, rw, tf, row, uv, pt, iis, iir):
+        def u_fn(t_cap):
+            u_s = (t_cap - p.t0) / p.dt_so3 - iis.astype(t_cap.dtype)
+            u_r = (t_cap - p.t0) / p.dt_r3 - iir.astype(t_cap.dtype)
+            return u_s, u_r
+
+        return reproj_residual_local(d, qw, rw, params["q_i_c"], params["t_i_c"],
+                                     ld, toff, tf, row, uv, pt, u_fn, p)
+
+    d0 = jnp.zeros((44,), p.obs_uv.dtype)
+    args = (qwin, rwin, p.obs_t, p.obs_row, p.obs_uv, p.obs_pt, i_s, i_r)
+    r = jax.vmap(lambda qw, rw, tf, row, uv, pt, iis, iir: res(d0, qw, rw, tf, row, uv, pt, iis, iir))(*args)
+    r = r * w[:, None]
+    J = None
+    if with_jac:
+        J = jax.vmap(lambda qw, rw, tf, row, uv, pt, iis, iir: jax.jacfwd(res)(d0, qw, rw, tf, row, uv, pt, iis, iir))(*args)
+        J = J * w[:, None, None]
+    idx = jnp.concatenate([
+        _win_idx(layout, "q_so3", i_s, ORDER),
+        _win_idx(layout, "t_r3", i_r, ORDER),
+        _fixed_idx(layout, "q_i_c", i_s.shape[0]),
+        _fixed_idx(layout, "t_i_c", i_s.shape[0]),
+        _fixed_idx(layout, "line_delay", i_s.shape[0]),
+        _fixed_idx(layout, "time_offset", i_s.shape[0]),
+    ], axis=1)
+    return r, J, idx
+
+
+def _scatter(H, g, r, J, idx, sqrt_w=None):
+    """Accumulate J^T J blocks / J^T r into dense normal equations."""
+    if sqrt_w is not None:
+        r = r * sqrt_w[:, None]
+        J = J * sqrt_w[:, None, None]
+    Hb = jnp.einsum("mri,mrj->mij", J, J)
+    gb = jnp.einsum("mri,mr->mi", J, r)
+    H = H.at[idx[:, :, None], idx[:, None, :]].add(Hb)
+    g = g.at[idx].add(gb)
+    return H, g
+
+
+def _obs_chunks(p: SplineProblem, chunk: int):
+    """Reshape observation arrays to (K, chunk, ...) with invalid padding."""
+    mo = p.obs_t.shape[0]
+    k = (mo + chunk - 1) // chunk
+    pad = k * chunk - mo
+
+    def pz(x, value=0):
+        cfg = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, cfg, constant_values=value).reshape((k, chunk) + x.shape[1:])
+
+    return dict(obs_t=pz(p.obs_t), obs_row=pz(p.obs_row), obs_uv=pz(p.obs_uv),
+                obs_pt=pz(p.obs_pt), obs_valid=pz(p.obs_valid, False))
+
+
+def make_solver_functions(p: SplineProblem, layout, reproj_chunk: int | None = None):
+    """(linearize_fn, cost_fn) for lm.lm_optimize, both jit-traceable.
+
+    ``reproj_chunk``: if set, reprojection blocks are assembled in a
+    lax.scan over chunks of that many observations, bounding the peak
+    memory of the (M, 44, 44) block/index buffers (needed at full
+    GoPro-recording scale: ~230k observations).
+    """
+
+    def cost_fn(params):
+        ra, _, _ = _accel_r_and_idx(params, p, layout, with_jac=False)
+        rg, _, _ = _gyro_r_and_idx(params, p, layout, with_jac=False)
+        rp, _, _ = _reproj_r_and_idx(params, p, layout, with_jac=False)
+        c = 0.5 * jnp.sum(ra * ra) + 0.5 * jnp.sum(rg * rg)
+        c = c + robust.huber_cost(rp.reshape(-1), HUBER_PX, group_size=2)
+        return c
+
+    def linearize_fn(params):
+        D = layout.tangent_dim
+        dtype = p.obs_uv.dtype
+        H = jnp.zeros((D, D), dtype)
+        g = jnp.zeros((D,), dtype)
+        ra, Ja, ia = _accel_r_and_idx(params, p, layout, with_jac=True)
+        H, g = _scatter(H, g, ra, Ja, ia)
+        rg, Jg, ig = _gyro_r_and_idx(params, p, layout, with_jac=True)
+        H, g = _scatter(H, g, rg, Jg, ig)
+        cost = 0.5 * jnp.sum(ra * ra) + 0.5 * jnp.sum(rg * rg)
+
+        if reproj_chunk is None:
+            rp, Jp, ip = _reproj_r_and_idx(params, p, layout, with_jac=True)
+            hw = robust.huber_sqrt_weights(rp.reshape(-1), HUBER_PX, group_size=2)
+            hw = hw.reshape(rp.shape)[:, 0]
+            H, g = _scatter(H, g, rp, Jp, ip, sqrt_w=hw)
+            cost = cost + robust.huber_cost(rp.reshape(-1), HUBER_PX, group_size=2)
+        else:
+            chunks = _obs_chunks(p, reproj_chunk)
+
+            def body(carry, ch):
+                Hc, gc, cc = carry
+                pc = p._replace(**ch)
+                rp, Jp, ip = _reproj_r_and_idx(params, pc, layout, with_jac=True)
+                hw = robust.huber_sqrt_weights(rp.reshape(-1), HUBER_PX, group_size=2)
+                hw = hw.reshape(rp.shape)[:, 0]
+                Hc, gc = _scatter(Hc, gc, rp, Jp, ip, sqrt_w=hw)
+                cc = cc + robust.huber_cost(rp.reshape(-1), HUBER_PX, group_size=2)
+                return (Hc, gc, cc), None
+
+            (H, g, cost), _ = jax.lax.scan(body, (H, g, cost), chunks)
+        return H, g, cost
+
+    return linearize_fn, cost_fn
+
+
+# ---------------------------------------------------------------------------
+# Problem construction + initialization
+# ---------------------------------------------------------------------------
+
+def _num_knots(duration: float, dt: float, order: int) -> int:
+    return int(np.ceil(duration / dt)) + order - 1
+
+
+def init_spline_params(poses: PoseDataset, q_i_c0, t_i_c0, p: SplineProblem,
+                       imu: ImuData, pose_time_offset: float = 0.0,
+                       dtype=jnp.float64):
+    """Initialize knots from camera poses (BatchInitSO3R3VisPoses,
+    spline_trajectory_estimator.impl.h:278-339) and gravity from early
+    accelerometer samples (InitializeGravity, imu_camera_calibrator.cc:130-161).
+
+    ``pose_time_offset`` shifts the pose timestamps onto the IMU clock.
+    """
+    t0, dt_so3, dt_r3 = p.t0, p.dt_so3, p.dt_r3
+    n_so3, n_r3, n_bias = p.n_so3, p.n_r3, p.n_bias
+    ok = poses.valid
+    tv = poses.times[ok] + pose_time_offset
+    q_wc = jnp.asarray(poses.q_w_c[ok], dtype)
+    t_wc = jnp.asarray(poses.t_w_c[ok], dtype)
+    # T_w_i = T_w_c * T_i_c^{-1} (impl.h:296-300)
+    q_ci, t_ci = lie.se3_inverse(jnp.asarray(q_i_c0, dtype), jnp.asarray(t_i_c0, dtype))
+    q_wi, t_wi = jax.vmap(lambda q, t: lie.se3_compose(q, t, q_ci, t_ci))(q_wc, t_wc)
+    # Fix quaternion hemisphere continuity before slerp resampling.
+    qn = np.array(q_wi)
+    for k in range(1, qn.shape[0]):
+        if np.dot(qn[k], qn[k - 1]) < 0:
+            qn[k] = -qn[k]
+    q_wi = jnp.asarray(qn)
+    tvj = jnp.asarray(tv, dtype)
+    knot_t_so3 = t0 + jnp.arange(n_so3, dtype=dtype) * dt_so3 - (ORDER - 1) * dt_so3 / 2.0
+    knot_t_r3 = t0 + jnp.arange(n_r3, dtype=dtype) * dt_r3 - (ORDER - 1) * dt_r3 / 2.0
+    q_knots = interpolation.interp_quaternion(tvj, q_wi, knot_t_so3)
+    t_knots = interpolation.interp_vector(tvj, t_wi, knot_t_r3)
+
+    # Gravity: average R_w_i(t) * accel over samples near the first poses
+    # (assumes low body acceleration there).
+    sel = (imu.times >= tv[0]) & (imu.times <= tv[0] + 1.0)
+    acc = jnp.asarray(imu.accel[sel], dtype)
+    t_acc = jnp.asarray(imu.times[sel], dtype)
+    q_at = interpolation.interp_quaternion(tvj, q_wi, t_acc)
+    g_est = jnp.mean(lie.quat_rotate(q_at, acc), axis=0)
+    g_est = 9.81 * g_est / jnp.maximum(jnp.linalg.norm(g_est), 1e-9)
+
+    return {
+        "q_so3": q_knots,
+        "t_r3": t_knots,
+        "bias_a": jnp.zeros((n_bias, 3), dtype),
+        "bias_g": jnp.zeros((n_bias, 3), dtype),
+        "gravity": g_est,
+        "q_i_c": jnp.asarray(q_i_c0, dtype),
+        "t_i_c": jnp.asarray(t_i_c0, dtype),
+        "line_delay": jnp.zeros((1,), dtype),
+        "time_offset": jnp.zeros((1,), dtype),
+    }
+
+
+def build_problem(corners: CornerDataset, calib: CameraCalibration,
+                  imu: ImuData, sew: SplineWeightingData,
+                  time_offset: float, rolling_shutter: bool,
+                  dtype=jnp.float64) -> SplineProblem:
+    """Assemble measurement batches. Corner times are shifted by
+    ``time_offset`` onto the IMU clock (t_imu = t_cam + offset)."""
+    cam_t = corners.times + time_offset
+    t_lo = max(float(imu.times[0]), float(cam_t.min()))
+    t_hi = min(float(imu.times[-1]), float(cam_t.max()))
+    duration = t_hi - t_lo
+    n_so3 = _num_knots(duration, sew.dt_so3, ORDER)
+    n_r3 = _num_knots(duration, sew.dt_r3, ORDER)
+    dt_bias = min(10.0, duration)  # imu_camera_calibrator.cc:80-85
+    n_bias = _num_knots(duration, dt_bias, BIAS_ORDER)
+
+    V, P = corners.points2d.shape[:2]
+    obs_t = np.repeat(cam_t, P)
+    obs_row = corners.points2d[..., 1].reshape(-1)
+    obs_uv = corners.points2d.reshape(-1, 2)
+    obs_pt = np.tile(corners.board_points, (V, 1))
+    obs_valid = corners.valid.reshape(-1)
+
+    return SplineProblem(
+        t0=t_lo, dt_so3=sew.dt_so3, dt_r3=sew.dt_r3, dt_bias=dt_bias,
+        n_so3=n_so3, n_r3=n_r3, n_bias=n_bias,
+        accel_t=jnp.asarray(imu.times, dtype), accel_meas=jnp.asarray(imu.accel, dtype),
+        accel_valid=jnp.ones(imu.times.shape[0], bool), w_accel=1.0 / sew.std_r3,
+        gyro_t=jnp.asarray(imu.times, dtype), gyro_meas=jnp.asarray(imu.gyro, dtype),
+        gyro_valid=jnp.ones(imu.times.shape[0], bool), w_gyro=1.0 / sew.std_so3,
+        obs_t=jnp.asarray(obs_t, dtype), obs_row=jnp.asarray(obs_row, dtype),
+        obs_uv=jnp.asarray(obs_uv, dtype), obs_pt=jnp.asarray(obs_pt, dtype),
+        obs_valid=jnp.asarray(obs_valid),
+        cam_params=jnp.asarray(calib.params, dtype), model_name=calib.model_name,
+        rolling_shutter=rolling_shutter)
+
+
+def optimize(p: SplineProblem, params0: dict, flags: frozenset = DEFAULT_FLAGS,
+             max_iters: int = 50, config: lm.LMConfig | None = None,
+             reproj_chunk: int | None = None) -> lm.LMResult:
+    """Run LM on the full problem with the given free-parameter flags
+    (SplineTrajectoryEstimator::Optimize, impl.h:254-276)."""
+    layout = build_layout(p)
+    lin, cost = make_solver_functions(p, layout, reproj_chunk=reproj_chunk)
+    mask = layout.free_mask(fixed=flags_to_fixed(flags))
+    cfg = config or lm.LMConfig(max_iters=max_iters, ftol=1e-4)  # ftol impl.h:267
+    return lm.lm_optimize(lin, cost, layout.retract, params0, mask, cfg)
+
+
+# ---------------------------------------------------------------------------
+# Evaluation helpers (GetPose / GetAngularVelocity / ... impl.h:898-991)
+# ---------------------------------------------------------------------------
+
+def evaluate_pose(p: SplineProblem, params, t):
+    qs = spline.so3_eval_batch(params["q_so3"], t, p.t0, p.dt_so3, ORDER)
+    ts = spline.r3_eval_batch(params["t_r3"], t, p.t0, p.dt_r3, 0, ORDER)
+    return qs, ts
+
+
+def evaluate_imu(p: SplineProblem, params, t):
+    """Predicted (accel_reading, gyro_reading) at times t."""
+    qs, omega = spline.so3_vel_batch(params["q_so3"], t, p.t0, p.dt_so3, ORDER)
+    a_w = spline.r3_eval_batch(params["t_r3"], t, p.t0, p.dt_r3, 2, ORDER)
+    i_b, u_b = spline.spline_coords(t, p.t0, p.dt_bias, p.n_bias, BIAS_ORDER)
+    ba = jax.vmap(lambda w, u: spline.r3_eval(w, u, p.dt_bias, 0, BIAS_ORDER))(
+        spline.gather_window(params["bias_a"], i_b, BIAS_ORDER), u_b)
+    bg = jax.vmap(lambda w, u: spline.r3_eval(w, u, p.dt_bias, 0, BIAS_ORDER))(
+        spline.gather_window(params["bias_g"], i_b, BIAS_ORDER), u_b)
+    acc_pred = lie.quat_rotate(lie.quat_conjugate(qs), a_w + params["gravity"]) + ba
+    gyro_pred = omega + bg
+    return acc_pred, gyro_pred
+
+
+def mean_reprojection_error(p: SplineProblem, params) -> float:
+    """Mean pixel reprojection error over valid observations
+    (GetMeanReprojectionError, impl.h:993-1072)."""
+    layout = build_layout(p)
+    rp, _, _ = _reproj_r_and_idx(params, p, layout, with_jac=False)
+    w = (p.obs_valid & _in_range(p, p.obs_t)).astype(rp.dtype)
+    err = jnp.linalg.norm(rp, axis=-1) * w
+    return float(jnp.sum(err) / jnp.maximum(jnp.sum(w), 1.0))

@@ -1,0 +1,202 @@
+"""Telemetry importers/exporters for all devices the reference supports.
+
+Equivalent of the reference's TelemetryImporter / TelemetryConverter
+(/root/reference python/telemetry_converter.py): GoPro gpmf-parser json
+(:73-132), pygpmf json (:285-344), pilotguru smartphone (:134-183),
+generic csv (:185-209), generic json (:211-238), ZED jsonl (:240-283),
+and the generic-json / Kalibr-csv writers (:387-435).
+
+Conventions preserved from the reference:
+* GoPro ACCL/GYRO samples are axis-remapped [1, 2, 0] (:91-93, 297-299).
+* GoPro CORI quaternions arrive in (w, x, z, y) order (:96-99, 306-309);
+  we store quaternions as (w, x, y, z).
+* All timestamps are converted to seconds, float64 (the reference carries
+  ns integers; seconds keep the internal APIs uniform).
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+
+import numpy as np
+
+from openimucameracalibrator_tpu.utils.types import CameraTelemetry, ImuData
+
+NS = 1e-9
+US = 1e-6
+MS = 1e-3
+
+
+def _skip(t, *arrays, skip_seconds=0.0):
+    if skip_seconds <= 0.0:
+        return (t,) + arrays
+    lo, hi = t[0] + skip_seconds, t[-1] - skip_seconds
+    m = (t >= lo) & (t <= hi)
+    return (t[m],) + tuple(a[m] if len(a) == len(t) else a for a in arrays)
+
+
+def read_gopro_telemetry(path: str, skip_seconds: float = 0.0) -> CameraTelemetry:
+    """gpmf-parser json: streams ACCL/GYRO/CORI/GRAV(/GPS5)."""
+    with open(path) as f:
+        data = json.load(f)
+    streams = data["1"]["streams"]
+    accl_s = streams["ACCL"]["samples"]
+    gyro_s = streams["GYRO"]["samples"]
+    t = np.asarray([a["cts"] for a in accl_s], np.float64) * MS
+    accl = np.asarray([a["value"] for a in accl_s], np.float64)[:, [1, 2, 0]]
+    gyro = np.asarray([g["value"] for g in gyro_s], np.float64)[:, [1, 2, 0]]
+    n = min(len(t), len(accl), len(gyro))
+    t, accl, gyro = t[:n], accl[:n], gyro[:n]
+
+    img_t = None
+    quats = None
+    if "CORI" in streams:
+        cori = np.asarray([c["value"] for c in streams["CORI"]["samples"]], np.float64)
+        # (w, x, z, y) -> (w, x, y, z)
+        quats = cori[:, [0, 1, 3, 2]]
+        img_t = np.asarray([c["cts"] for c in streams["CORI"]["samples"]], np.float64) * MS
+    t, accl, gyro = _skip(t, accl, gyro, skip_seconds=skip_seconds)
+    return CameraTelemetry(imu=ImuData(times=t, accel=accl, gyro=gyro),
+                           img_times=img_t, cam_quats=quats)
+
+
+def read_pygpmf_json(path: str, skip_seconds: float = 0.0) -> CameraTelemetry:
+    """py_gpmf_parser json (run_gopro_calibration.py:198-206 path)."""
+    with open(path) as f:
+        data = json.load(f)
+    accl = np.asarray(data["ACCL"]["data"], np.float64)[:, [1, 2, 0]]
+    gyro = np.asarray(data["GYRO"]["data"], np.float64)[:, [1, 2, 0]]
+    t = np.asarray(data["ACCL"]["timestamps_s"], np.float64)
+    n = min(len(t), len(accl), len(gyro))
+    t, accl, gyro = t[:n], accl[:n], gyro[:n]
+    img_t = np.asarray(data["img_timestamps_s"], np.float64)
+    quats = None
+    if "CORI" in data:
+        cori = np.asarray(data["CORI"]["data"], np.float64)
+        quats = cori[:, [0, 1, 3, 2]]
+    t, accl, gyro = _skip(t, accl, gyro, skip_seconds=skip_seconds)
+    return CameraTelemetry(imu=ImuData(times=t, accel=accl, gyro=gyro),
+                           img_times=img_t, cam_quats=quats)
+
+
+def read_generic_json(path: str, skip_seconds: float = 0.0) -> CameraTelemetry:
+    """The pipeline's interchange format (read_telemetry.cc:29-70)."""
+    with open(path) as f:
+        data = json.load(f)
+    t = np.asarray(data["timestamps_ns"], np.float64) * NS
+    accl = np.asarray(data["accelerometer"], np.float64)
+    gyro = np.asarray(data["gyroscope"], np.float64)
+    img_t = np.asarray(data.get("img_timestamps_ns", []), np.float64) * NS
+    t, accl, gyro = _skip(t, accl, gyro, skip_seconds=skip_seconds)
+    return CameraTelemetry(imu=ImuData(times=t, accel=accl, gyro=gyro),
+                           img_times=img_t if img_t.size else None)
+
+
+def read_pilotguru(accl_path: str, gyro_path: str, cam_path: str,
+                   skip_seconds: float = 0.0) -> CameraTelemetry:
+    """pilotguru smartphone recorder (three json files, :134-183).
+
+    The slower of the two IMU streams sets the shared timebase; the faster
+    one is subsampled by the integer rate ratio, matching the reference.
+    Camera frame 0 defines t = 0.
+    """
+    with open(accl_path) as f:
+        acc_data = json.load(f)["accelerations"]
+    with open(gyro_path) as f:
+        gyr_data = json.load(f)["rotations"]
+    with open(cam_path) as f:
+        cam_data = json.load(f)["frames"]
+    cam_t0 = cam_data[0]["time_usec"]
+    acc_t = np.asarray([a["time_usec"] for a in acc_data], np.float64)
+    gyr_t = np.asarray([g["time_usec"] for g in gyr_data], np.float64)
+    accl = np.asarray([[a["x"], a["y"], a["z"]] for a in acc_data], np.float64)
+    gyro = np.asarray([[g["x"], g["y"], g["z"]] for g in gyr_data], np.float64)
+    acc_ps = 1.0 / ((acc_t[1] - acc_t[0]) * US)
+    gyr_ps = 1.0 / ((gyr_t[1] - gyr_t[0]) * US)
+    if acc_ps > gyr_ps:
+        sub = int(round(acc_ps / gyr_ps))
+        accl = accl[::sub]
+        t = (acc_t[::sub] - cam_t0) * US
+    else:
+        sub = int(round(gyr_ps / acc_ps))
+        gyro = gyro[::sub]
+        t = (gyr_t[::sub] - cam_t0) * US
+    n = min(len(t), len(accl), len(gyro))
+    t, accl, gyro = t[:n], accl[:n], gyro[:n]
+    img_t = (np.asarray([fr["time_usec"] for fr in cam_data], np.float64) - cam_t0) * US
+    t, accl, gyro = _skip(t, accl, gyro, skip_seconds=skip_seconds)
+    return CameraTelemetry(imu=ImuData(times=t, accel=accl, gyro=gyro), img_times=img_t)
+
+
+def read_generic_csv(path: str, skip_seconds: float = 0.0) -> CameraTelemetry:
+    """MYNT-EYE style csv: t_ns, gx, gy, gz, ax, ay, az (:185-209)."""
+    rows = []
+    with open(path) as f:
+        for row in csv.reader(f):
+            if row:
+                rows.append([float(v) for v in row[:7]])
+    arr = np.asarray(rows, np.float64)
+    t = arr[:, 0] * NS
+    gyro = arr[:, 1:4]
+    accl = arr[:, 4:7]
+    t, accl, gyro = _skip(t, accl, gyro, skip_seconds=skip_seconds)
+    return CameraTelemetry(imu=ImuData(times=t, accel=accl, gyro=gyro))
+
+
+def read_zed_jsonl(path: str, skip_seconds: float = 0.0) -> CameraTelemetry:
+    """ZED recorder jsonl (:240-283)."""
+    gyro, accl, imu_t, frame_t = [], [], [], []
+    with open(path) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            d = json.loads(line)
+            if "sensor" in d:
+                if d["sensor"]["type"] == "gyroscope":
+                    gyro.append(d["sensor"]["values"])
+                    imu_t.append(d["time"])
+                elif d["sensor"]["type"] == "accelerometer":
+                    accl.append(d["sensor"]["values"])
+            elif "frames" in d:
+                frame_t.append(d["time"])
+    imu_t = np.asarray(imu_t, np.float64)
+    frame_t = np.asarray(frame_t, np.float64)
+    gyro = np.asarray(gyro, np.float64)
+    accl = np.asarray(accl, np.float64)
+    n = min(len(imu_t), len(gyro), len(accl))
+    imu_t, gyro, accl = imu_t[:n], gyro[:n], accl[:n]
+    keep = (imu_t >= frame_t[0]) & (imu_t <= frame_t[-1])
+    imu_t, gyro, accl = imu_t[keep], gyro[keep], accl[keep]
+    imu_t = imu_t - imu_t[0]
+    t, accl, gyro = _skip(imu_t, accl, gyro, skip_seconds=skip_seconds)
+    return CameraTelemetry(imu=ImuData(times=t, accel=accl, gyro=gyro),
+                           img_times=frame_t - frame_t[0])
+
+
+# ---------------------------------------------------------------------------
+# Writers (TelemetryConverter equivalents)
+# ---------------------------------------------------------------------------
+
+def write_generic_json(tel: CameraTelemetry, path: str, cam_fps: float = 0.0):
+    """Write the pipeline interchange json (:387-399)."""
+    out = {
+        "accelerometer": np.asarray(tel.imu.accel).tolist(),
+        "gyroscope": np.asarray(tel.imu.gyro).tolist(),
+        "timestamps_ns": (np.asarray(tel.imu.times) / NS).tolist(),
+        "img_timestamps_ns": ((np.asarray(tel.img_times) / NS).tolist()
+                              if tel.img_times is not None else []),
+        "camera_fps": cam_fps or (
+            1.0 / float(np.mean(np.diff(tel.img_times)))
+            if tel.img_times is not None and len(tel.img_times) > 1 else 0.0),
+    }
+    with open(path, "w") as f:
+        json.dump(out, f)
+
+
+def write_kalibr_csv(tel: CameraTelemetry, path: str):
+    """Kalibr imu csv: t_ns, gx, gy, gz, ax, ay, az (:400-410)."""
+    with open(path, "w") as f:
+        for t, g, a in zip(tel.imu.times, tel.imu.gyro, tel.imu.accel):
+            t_ns = int(round(t / NS))
+            f.write(f"{t_ns},{g[0]},{g[1]},{g[2]},{a[0]},{a[1]},{a[2]}\n")

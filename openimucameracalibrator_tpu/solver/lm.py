@@ -55,12 +55,20 @@ def _mask_system(H, g, mask):
 
 
 def _solve_damped(H, g, lam):
+    """Solve (H + lam * diag(H)) delta = -g via Jacobi-equilibrated Cholesky.
+
+    Scaling H to unit diagonal first keeps the factorization well-
+    conditioned in float32 on TPU (the damped system becomes Hs + lam*I
+    with diag(Hs) = 1). On failure the solution contains NaN and the LM
+    step is rejected.
+    """
     d = jnp.diag(H)
-    damp = lam * jnp.maximum(d, 1e-8)
-    Hd = H + jnp.diag(damp)
-    # Cholesky; on failure the solution contains NaN and the step is rejected.
+    s = jax.lax.rsqrt(jnp.maximum(d, 1e-12))
+    Hs = H * s[:, None] * s[None, :]
+    Hd = Hs + lam * jnp.eye(H.shape[0], dtype=H.dtype)
     L, lower = jax.scipy.linalg.cho_factor(Hd, lower=True)
-    return jax.scipy.linalg.cho_solve((L, lower), -g)
+    y = jax.scipy.linalg.cho_solve((L, lower), -(s * g))
+    return s * y
 
 
 def lm_optimize(

@@ -1,0 +1,138 @@
+import json
+
+import numpy as np
+import pytest
+
+from openimucameracalibrator_tpu.core import telemetry
+from openimucameracalibrator_tpu.models import boards
+from openimucameracalibrator_tpu.utils import io, ubjson
+from openimucameracalibrator_tpu.utils.types import (CameraCalibration, CameraTelemetry,
+                                                     CornerDataset, ImuData)
+
+
+def test_ubjson_roundtrip():
+    val = {"a": 1, "b": [1.5, 2.5, -3], "c": {"x": "hello", "y": True, "z": None},
+           "big": 70000, "neg": -200, "s": "unicode: ü"}
+    data = ubjson.dumps(val)
+    back = ubjson.loads(data)
+    assert back == val
+
+
+def test_ubjson_unoptimized_containers():
+    # Hand-encoded without '#' counts: ["S" "i" 2 "hi", 5] in [ ... ]
+    raw = b"[Si\x02hii\x05]"
+    assert ubjson.loads(raw) == ["hi", 5]
+    raw_obj = b"{i\x01aT}"
+    assert ubjson.loads(raw_obj) == {"a": True}
+
+
+def make_dataset(rng):
+    board = boards.charuco_board(6, 5)
+    V, P = 4, board.num_points
+    pts = rng.uniform(0, 500, (V, P, 2))
+    valid = rng.uniform(size=(V, P)) > 0.3
+    return CornerDataset(times=np.arange(V) / 30.0, points2d=pts, valid=valid,
+                         board_points=board.points, image_size=(960, 540), fps=30.0)
+
+
+@pytest.mark.parametrize("ext", ["uson", "json"])
+def test_corner_dataset_roundtrip(tmp_path, rng, ext):
+    ds = make_dataset(rng)
+    path = str(tmp_path / f"corners.{ext}")
+    io.save_corners(ds, path)
+    back = io.load_corners(path)
+    np.testing.assert_allclose(back.times, ds.times, atol=1e-6)
+    np.testing.assert_array_equal(back.valid, ds.valid)
+    np.testing.assert_allclose(back.points2d[ds.valid], ds.points2d[ds.valid])
+    np.testing.assert_allclose(back.board_points, ds.board_points)
+    assert back.image_size == ds.image_size
+
+
+@pytest.mark.parametrize("model,params", [
+    ("pinhole", [437.0, 438.0, 480.0, 270.0]),
+    ("division_undistortion", [437.0, 480.0, 270.0, -1.4e-6]),
+    ("double_sphere", [340.0, 341.0, 480.0, 270.0, -0.2, 0.55]),
+    ("extended_unified", [437.0, 437.0, 480.0, 270.0, 0.5, 1.05]),
+    ("fisheye", [437.0, 437.0, 480.0, 270.0, 0.05, 0.07, -0.11, 0.05]),
+    ("pinhole_radtan", [437.0, 437.0, 480.0, 270.0, -0.05, 0.01, 0.0, 1e-4, -1e-4]),
+    ("fov", [437.0, 437.0, 480.0, 270.0, 0.9]),
+])
+def test_camera_calibration_roundtrip(tmp_path, model, params):
+    calib = CameraCalibration(model, np.asarray(params), (960, 540), 0.123, fps=59.94)
+    path = str(tmp_path / "calib.json")
+    io.save_camera_calibration(calib, path, nr_calib_images=42)
+    back = io.load_camera_calibration(path)
+    assert back.model_name == model
+    np.testing.assert_allclose(back.params, params, rtol=1e-12)
+    assert back.image_size == (960, 540)
+    # Reference schema keys present.
+    with open(path) as f:
+        obj = json.load(f)
+    assert obj["intrinsic_type"] == io._TYPE_BY_MODEL[model]
+    assert "principal_pt_x" in obj["intrinsics"]
+
+
+def test_generic_telemetry_roundtrip(tmp_path, rng):
+    n = 50
+    tel = CameraTelemetry(
+        imu=ImuData(times=np.arange(n) / 100.0, accel=rng.normal(size=(n, 3)),
+                    gyro=rng.normal(size=(n, 3))),
+        img_times=np.arange(10) / 30.0)
+    path = str(tmp_path / "telemetry.json")
+    telemetry.write_generic_json(tel, path, cam_fps=30.0)
+    back = telemetry.read_generic_json(path)
+    np.testing.assert_allclose(back.imu.times, tel.imu.times, atol=1e-9)
+    np.testing.assert_allclose(back.imu.accel, tel.imu.accel)
+    np.testing.assert_allclose(back.imu.gyro, tel.imu.gyro)
+    np.testing.assert_allclose(back.img_times, tel.img_times, atol=1e-9)
+
+
+def test_kalibr_csv_and_generic_csv(tmp_path, rng):
+    n = 20
+    tel = CameraTelemetry(
+        imu=ImuData(times=np.arange(n) / 100.0 + 1.0, accel=rng.normal(size=(n, 3)),
+                    gyro=rng.normal(size=(n, 3))))
+    path = str(tmp_path / "imu.csv")
+    telemetry.write_kalibr_csv(tel, path)
+    back = telemetry.read_generic_csv(path)
+    np.testing.assert_allclose(back.imu.times, tel.imu.times, atol=1e-8)
+    np.testing.assert_allclose(back.imu.gyro, tel.imu.gyro, atol=1e-12)
+    np.testing.assert_allclose(back.imu.accel, tel.imu.accel, atol=1e-12)
+
+
+def test_zed_jsonl_import(tmp_path, rng):
+    lines = []
+    for k in range(30):
+        t = 100.0 + k * 0.01
+        lines.append(json.dumps({"sensor": {"type": "gyroscope", "values": [0.1, 0.2, 0.3]},
+                                 "time": t}))
+        lines.append(json.dumps({"sensor": {"type": "accelerometer", "values": [0, 0, 9.8]},
+                                 "time": t}))
+    lines.insert(0, json.dumps({"frames": [0], "time": 100.0}))
+    lines.append(json.dumps({"frames": [1], "time": 100.5}))
+    path = str(tmp_path / "zed.jsonl")
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+    tel = telemetry.read_zed_jsonl(path)
+    assert len(tel.imu.times) > 20
+    assert tel.imu.times[0] == 0.0
+
+
+def test_gopro_gpmf_import(tmp_path):
+    data = {"1": {"streams": {
+        "ACCL": {"samples": [{"cts": 0.0, "value": [1.0, 2.0, 3.0]},
+                             {"cts": 5.0, "value": [1.1, 2.1, 3.1]}]},
+        "GYRO": {"samples": [{"cts": 0.0, "value": [0.1, 0.2, 0.3]},
+                             {"cts": 5.0, "value": [0.1, 0.2, 0.3]}]},
+        "CORI": {"samples": [{"cts": 0.0, "value": [1.0, 0.0, 0.0, 0.0]}]},
+        "GRAV": {"samples": [{"value": [0.0, 0.0, 1.0]}]},
+    }}, "frames/second": 59.94}
+    path = str(tmp_path / "gopro.json")
+    with open(path, "w") as f:
+        json.dump(data, f)
+    tel = telemetry.read_gopro_telemetry(path)
+    # Axis remap [1, 2, 0].
+    np.testing.assert_allclose(tel.imu.accel[0], [2.0, 3.0, 1.0])
+    np.testing.assert_allclose(tel.imu.gyro[0], [0.2, 0.3, 0.1])
+    np.testing.assert_allclose(tel.imu.times, [0.0, 0.005])
+    assert tel.cam_quats.shape == (1, 4)

@@ -1,0 +1,79 @@
+"""Sharded-vs-single-device solver equivalence on the 8-device CPU mesh.
+
+The reference has no distributed mode; our correctness bar (SURVEY.md §4)
+is that the mesh-sharded normal equations match the single-device ones to
+numerical precision, and that the sharded LM produces the same solution.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openimucameracalibrator_tpu.core import (imu_cam_rotation, pose_estimator,
+                                              spline_estimator as se)
+from openimucameracalibrator_tpu.parallel import sharded
+from openimucameracalibrator_tpu.utils.types import SplineWeightingData
+
+from test_spline_estimator import _make_pipeline_inputs
+
+
+@pytest.fixture(scope="module")
+def small_problem():
+    scene, ds, calib, imu = _make_pipeline_inputs(duration=4.0, cam_fps=15.0,
+                                                  imu_rate=50.0, seed=3)
+    sew = SplineWeightingData(dt_so3=0.12, dt_r3=0.12, std_so3=0.002, std_r3=0.02,
+                              cam_fps=15.0)
+    p = se.build_problem(ds, calib, imu, sew, time_offset=-0.05,
+                         rolling_shutter=False)
+    poses = pose_estimator.estimate_poses(ds, calib)
+    q_i_c0 = np.asarray(scene.q_i_c)
+    params0 = se.init_spline_params(poses, q_i_c0, np.asarray(scene.t_i_c), p, imu,
+                                    pose_time_offset=-0.05)
+    return p, params0
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_normal_equations_match(small_problem):
+    p, params0 = small_problem
+    layout = se.build_layout(p)
+    lin_single, cost_single = se.make_solver_functions(p, layout)
+    H0, g0, c0 = lin_single(params0)
+
+    mesh = sharded.make_mesh(8)
+    lin_sh, cost_sh, layout_sh = sharded.make_sharded_solver_functions(p, mesh)
+    H1, g1, c1 = lin_sh(params0)
+    np.testing.assert_allclose(np.asarray(H1), np.asarray(H0), rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(float(c1), float(c0), rtol=1e-12)
+    np.testing.assert_allclose(float(cost_sh(params0)), float(cost_single(params0)),
+                               rtol=1e-12)
+
+
+def test_sharded_lm_matches_single_device(small_problem):
+    p, params0 = small_problem
+    flags = frozenset({se.SPLINE, se.T_I_C, se.IMU_BIASES, se.GRAVITY_DIR})
+    res_single = se.optimize(p, params0, flags, max_iters=5)
+    mesh = sharded.make_mesh(8)
+    res_sh = sharded.optimize_sharded(p, params0, mesh, flags, max_iters=5)
+    np.testing.assert_allclose(float(res_sh.cost), float(res_single.cost),
+                               rtol=1e-6)
+    for k in res_single.params:
+        np.testing.assert_allclose(np.asarray(res_sh.params[k]),
+                                   np.asarray(res_single.params[k]),
+                                   rtol=1e-6, atol=1e-8)
+
+
+def test_sharded_padding_is_neutral(small_problem):
+    p, params0 = small_problem
+    layout = se.build_layout(p)
+    lin_single, _ = se.make_solver_functions(p, layout)
+    H0, g0, c0 = lin_single(params0)
+    p_pad = sharded.pad_problem(p, 7)  # deliberately awkward multiple
+    lin_pad, _ = se.make_solver_functions(p_pad, layout)
+    H1, g1, c1 = lin_pad(params0)
+    np.testing.assert_allclose(np.asarray(H1), np.asarray(H0), atol=1e-12)
+    np.testing.assert_allclose(float(c1), float(c0), rtol=1e-12)
