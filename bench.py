@@ -23,6 +23,11 @@ import numpy as np
 
 
 def main():
+    import sys
+
+    def log(msg):
+        print(f"# {msg}", file=sys.stderr, flush=True)
+
     import jax
     import jax.numpy as jnp
 
@@ -44,6 +49,7 @@ def main():
     time_offset = -0.0813
 
     # --- scene generation on CPU (float64 for clean ground truth) ---
+    log(f"devices: {jax.devices()}")
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         model = cameras.get_model("division_undistortion")
@@ -66,15 +72,20 @@ def main():
                             valid=np.ones(len(scene.frame_times), bool),
                             board_points=np.asarray(scene.board.points))
 
+    log("scene generated")
     sew = SplineWeightingData(dt_so3=0.050, dt_r3=0.089, std_so3=0.002,
                               std_r3=0.02, cam_fps=cam_fps)
-    problem = se.build_problem(corners, calib, imu, sew, time_offset,
-                               rolling_shutter=True, dtype=dtype)
-    params0 = se.init_spline_params(poses, np.asarray(scene.q_i_c),
-                                    np.asarray(scene.t_i_c) + 0.01,
-                                    problem, imu, pose_time_offset=time_offset,
-                                    dtype=dtype)
-    params0["line_delay"] = jnp.asarray([1.0 / cam_fps / 540], dtype)
+    # Problem construction + spline initialization also stay on CPU: only
+    # the solver itself should compile for the accelerator.
+    with jax.default_device(cpu):
+        problem = se.build_problem(corners, calib, imu, sew, time_offset,
+                                   rolling_shutter=True, dtype=dtype)
+        params0 = se.init_spline_params(poses, np.asarray(scene.q_i_c),
+                                        np.asarray(scene.t_i_c) + 0.01,
+                                        problem, imu, pose_time_offset=time_offset,
+                                        dtype=dtype)
+        params0["line_delay"] = jnp.asarray([1.0 / cam_fps / 540], dtype)
+    log("init done")
     layout = se.build_layout(problem)
     n_params = layout.tangent_dim
     n_frames = len(corners.times)
@@ -89,9 +100,11 @@ def main():
                            config=lm.LMConfig(max_iters=iters, ftol=0.0),
                            reproj_chunk=chunk)
 
+    log(f"problem built: D={n_params} obs={n_obs} imu={n_imu}")
     # Warm-up / compile.
     res = run(1)
     jax.block_until_ready(res.cost)
+    log("compile + warm-up done")
 
     iters = 12
     t0 = time.perf_counter()

@@ -1,0 +1,79 @@
+"""CLI: full continuous-time IMU-camera batch calibration.
+
+Equivalent of the reference binary
+``continuous_time_imu_to_camera_calibration``
+(/root/reference applications/continuous_time_imu_to_camera_calibration.cc:
+91-456).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def build_parser(p: argparse.ArgumentParser | None = None):
+    p = p or argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input_corners", required=True)
+    p.add_argument("--camera_calibration_json", required=True)
+    p.add_argument("--input_pose_dataset", required=True)
+    p.add_argument("--telemetry_json", required=True)
+    p.add_argument("--imu_rotation_init", required=True)
+    p.add_argument("--spline_weighting_json", required=True)
+    p.add_argument("--imu_bias_json", default="")
+    p.add_argument("--output_path", required=True)
+    p.add_argument("--global_shutter", action="store_true")
+    p.add_argument("--max_iters", type=int, default=50)
+    p.add_argument("--line_delay_iters", type=int, default=10)
+    p.add_argument("--no_time_offset_refinement", action="store_true",
+                   help="reference-parity mode: freeze the init offset")
+    return p
+
+
+def run(args) -> str:
+    import numpy as np
+
+    from openimucameracalibrator_tpu.apps.estimate_imu_to_camera_rotation import \
+        load_imu_camera_init
+    from openimucameracalibrator_tpu.apps.estimate_poses import load_pose_dataset
+    from openimucameracalibrator_tpu.core import imu_camera_calibrator, telemetry
+    from openimucameracalibrator_tpu.utils import io
+    from openimucameracalibrator_tpu.utils.types import SplineWeightingData
+
+    corners = io.load_corners(args.input_corners)
+    calib = io.load_camera_calibration(args.camera_calibration_json)
+    poses = load_pose_dataset(args.input_pose_dataset)
+    tel = telemetry.read_generic_json(args.telemetry_json)
+    init = load_imu_camera_init(args.imu_rotation_init)
+    with open(args.spline_weighting_json) as f:
+        sw = json.load(f)
+    sew = SplineWeightingData(
+        dt_so3=sw["so3"]["knot_spacing"], dt_r3=sw["r3"]["knot_spacing"],
+        std_so3=sw["so3"]["weighting_factor"], std_r3=sw["r3"]["weighting_factor"],
+        cam_fps=sw.get("camera_fps", 30.0))
+    accel_bias0 = gyro_bias0 = None
+    if args.imu_bias_json:
+        with open(args.imu_bias_json) as f:
+            b = json.load(f)
+        accel_bias0 = np.asarray([b["accl_bias"][k] for k in "xyz"])
+        gyro_bias0 = np.asarray([b["gyro_bias"][k] for k in "xyz"])
+
+    result = imu_camera_calibrator.calibrate_imu_camera(
+        corners, calib, poses, tel.imu, init, sew,
+        rolling_shutter=not args.global_shutter,
+        accel_bias0=accel_bias0, gyro_bias0=gyro_bias0,
+        refine_time_offset=not args.no_time_offset_refinement,
+        max_iters=args.max_iters, line_delay_iters=args.line_delay_iters)
+    io.save_imu_camera_result(result, args.output_path)
+    print(f"final reproj error: {result.mean_reproj_error:.4f}px, "
+          f"time offset {result.time_offset:+.4f}s, "
+          f"line delay {result.line_delay * 1e6:.2f}us -> {args.output_path}")
+    return args.output_path
+
+
+def main(argv=None):
+    run(build_parser().parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,141 @@
+"""CLI: the small pipeline tools.
+
+* ``get-sew`` — spline error weighting (reference
+  python/get_sew_for_dataset.py:38-56)
+* ``get-imu-biases`` — static bias estimate (python/get_imu_biases.py:39-62)
+* ``static-imu-calibration`` — multi-pose IMU intrinsics
+  (applications/static_imu_calibration.cc:38-88)
+* ``fit-allan-variance`` — IMU noise characterization
+  (applications/fit_allan_variance.cc:32-45)
+* ``create-charuco-board`` — printable board PNG
+  (applications/create_charuco_board.cc:30-67)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def sew_main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--input_json_path", required=True)
+    p.add_argument("--output_path", required=True)
+    p.add_argument("--q_so3", type=float, default=0.99)
+    p.add_argument("--q_r3", type=float, default=0.99)
+    args = p.parse_args(argv)
+
+    from openimucameracalibrator_tpu.core import telemetry
+    from openimucameracalibrator_tpu.ops import sew as sew_mod
+
+    tel = telemetry.read_generic_json(args.input_json_path)
+    fps = (1.0 / float((tel.img_times[1:] - tel.img_times[:-1]).mean())
+           if tel.img_times is not None and len(tel.img_times) > 1 else 30.0)
+    out = sew_mod.compute_sew(tel.imu, fps, q_so3=args.q_so3, q_r3=args.q_r3)
+    result = {
+        "so3": {"knot_spacing": out.dt_so3, "weighting_factor": out.std_so3,
+                "quality_factor": args.q_so3},
+        "r3": {"knot_spacing": out.dt_r3, "weighting_factor": out.std_r3,
+               "quality_factor": args.q_r3},
+        "camera_fps": out.cam_fps,
+    }
+    with open(args.output_path, "w") as f:
+        json.dump(result, f, indent=1)
+    print(f"dt_so3={out.dt_so3:.3f}s dt_r3={out.dt_r3:.3f}s -> {args.output_path}")
+
+
+def biases_main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--input_json_path", required=True)
+    p.add_argument("--output_path", required=True)
+    p.add_argument("--gravity_const", type=float, default=9.81)
+    p.add_argument("--remove_sec", type=float, default=0.0)
+    args = p.parse_args(argv)
+
+    from openimucameracalibrator_tpu.core import telemetry
+    from openimucameracalibrator_tpu.ops import sew as sew_mod
+
+    tel = telemetry.read_generic_json(args.input_json_path, skip_seconds=args.remove_sec)
+    ba, bg = sew_mod.estimate_static_biases(tel.imu, args.gravity_const)
+    out = {"gyro_bias": {k: float(v) for k, v in zip("xyz", bg)},
+           "accl_bias": {k: float(v) for k, v in zip("xyz", ba)}}
+    with open(args.output_path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"biases -> {args.output_path}")
+
+
+def static_imu_main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--telemetry_json", required=True)
+    p.add_argument("--output_path", required=True)
+    p.add_argument("--gravity_const", type=float, default=9.81)
+    p.add_argument("--initial_static_duration_s", type=float, default=30.0)
+    args = p.parse_args(argv)
+
+    from openimucameracalibrator_tpu.core import static_imu_calibrator, telemetry
+
+    tel = telemetry.read_generic_json(args.telemetry_json)
+    acc, gyr, info = static_imu_calibrator.calibrate(
+        tel.imu, static_imu_calibrator.StaticImuCalibratorOptions(
+            gravity=args.gravity_const,
+            init_static_duration_s=args.initial_static_duration_s))
+    out = {
+        "accelerometer": {"misalignment": acc.misalignment.tolist(),
+                          "scale": acc.scale.tolist(), "bias": acc.bias.tolist()},
+        "gyroscope": {"misalignment": gyr.misalignment.tolist(),
+                      "scale": gyr.scale.tolist(), "bias": gyr.bias.tolist()},
+        "info": {"num_intervals": info["num_intervals"],
+                 "threshold_mult": info["threshold_mult"]},
+    }
+    with open(args.output_path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"IMU intrinsics ({info['num_intervals']} poses) -> {args.output_path}")
+
+
+def allan_main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--telemetry_json", required=True)
+    p.add_argument("--output_path", default="")
+    args = p.parse_args(argv)
+
+    from openimucameracalibrator_tpu.core import telemetry
+    from openimucameracalibrator_tpu.ops import allan
+
+    tel = telemetry.read_generic_json(args.telemetry_json)
+    rate = tel.imu.rate_hz
+    res_g = allan.analyze(tel.imu.gyro, rate)
+    res_a = allan.analyze(tel.imu.accel, rate)
+    out = {
+        "gyro": {"white_noise_density": res_g.white_noise_density.tolist(),
+                 "bias_instability": res_g.bias_instability.tolist(),
+                 "random_walk": res_g.random_walk.tolist()},
+        "accel": {"white_noise_density": res_a.white_noise_density.tolist(),
+                  "bias_instability": res_a.bias_instability.tolist(),
+                  "random_walk": res_a.random_walk.tolist()},
+    }
+    print(json.dumps(out, indent=1))
+    if args.output_path:
+        with open(args.output_path, "w") as f:
+            json.dump(out, f, indent=1)
+
+
+def board_main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--output_path", required=True)
+    p.add_argument("--squares_x", type=int, default=10)
+    p.add_argument("--squares_y", type=int, default=8)
+    p.add_argument("--square_length", type=float, default=0.04)
+    p.add_argument("--marker_length", type=float, default=0.03)
+    p.add_argument("--px_per_square", type=int, default=100)
+    args = p.parse_args(argv)
+
+    import cv2
+
+    from openimucameracalibrator_tpu.core import board_extractor
+
+    opts = board_extractor.BoardExtractorOptions(
+        squares_x=args.squares_x, squares_y=args.squares_y,
+        square_length=args.square_length, marker_length=args.marker_length)
+    img = board_extractor.render_charuco_board_image(opts, args.px_per_square)
+    cv2.imwrite(args.output_path, img)
+    print(f"board image -> {args.output_path}")
