@@ -87,6 +87,7 @@ def main():
         params0["line_delay"] = jnp.asarray([1.0 / cam_fps / 540], dtype)
     log("init done")
     layout = se.build_layout(problem)
+
     n_params = layout.tangent_dim
     n_frames = len(corners.times)
     n_obs = int(np.sum(corners.valid))
@@ -94,21 +95,22 @@ def main():
 
     flags = se.DEFAULT_FLAGS | {se.CAM_LINE_DELAY, se.TIME_OFFSET}
     chunk = 16384
+    iters = 12
 
-    def run(iters):
-        return se.optimize(problem, params0, flags, max_iters=iters,
-                           config=lm.LMConfig(max_iters=iters, ftol=0.0),
-                           reproj_chunk=chunk)
+    # One jitted solver, traced once: warm-up compiles, the timed call hits
+    # the cache (python re-tracing of this graph costs minutes otherwise).
+    lin, cost = se.make_solver_functions_fast(problem, layout, obs_chunk=chunk)
+    mask = layout.free_mask(fixed=se.flags_to_fixed(flags))
+    cfg = lm.LMConfig(max_iters=iters, ftol=0.0)
+    run = jax.jit(lambda prm: lm.lm_optimize(lin, cost, layout.retract, prm, mask, cfg))
 
     log(f"problem built: D={n_params} obs={n_obs} imu={n_imu}")
-    # Warm-up / compile.
-    res = run(1)
+    res = run(params0)
     jax.block_until_ready(res.cost)
     log("compile + warm-up done")
 
-    iters = 12
     t0 = time.perf_counter()
-    res = run(iters)
+    res = run(params0)
     jax.block_until_ready(res.cost)
     elapsed = time.perf_counter() - t0
     done = int(res.iterations)

@@ -49,22 +49,26 @@ class CameraCalibratorOptions:
     stage1_prune_px: float = 5.0  # camera_calibrator.cc:162
     stage3_prune_px: float = 2.0  # camera_calibrator.cc:201
     max_iters: int = 40
+    # Optional stage 4: refine board points against an imperfect target
+    # (camera_calibrator.cc:208-216 "optimize_board_points").
+    optimize_board_points: bool = False
     dtype: type = jnp.float64
 
 
-def _build_layout(num_views: int, num_cam_params: int):
+def _build_layout(num_views: int, num_cam_params: int, num_points: int):
     return blocks.BlockLayout([
         blocks.BlockSpec("cam", (num_cam_params,)),
         blocks.BlockSpec("q_cw", (num_views, 4), "quat"),
         blocks.BlockSpec("t_cw", (num_views, 3)),
+        blocks.BlockSpec("pts", (num_points, 3)),
     ])
 
 
-def _make_residual_fn(model: cameras.CameraModel, obs, valid, board_pts, px_scale=1.0):
+def _make_residual_fn(model: cameras.CameraModel, obs, valid, px_scale=1.0):
     """Whitened reprojection residuals, flattened over (view, point, xy)."""
 
     def residual(params, view_w):
-        p_cam = lie.quat_rotate(params["q_cw"][:, None, :], board_pts[None]) + params["t_cw"][:, None, :]
+        p_cam = lie.quat_rotate(params["q_cw"][:, None, :], params["pts"][None]) + params["t_cw"][:, None, :]
         uv, ok = model.project(params["cam"], p_cam)
         w = (valid & ok).astype(uv.dtype) * view_w[:, None]
         r = (uv - obs) * w[..., None] * px_scale
@@ -74,11 +78,11 @@ def _make_residual_fn(model: cameras.CameraModel, obs, valid, board_pts, px_scal
 
 
 @functools.partial(jax.jit, static_argnames=("model_name", "max_iters"))
-def _run_ba_stage(params0, free_mask, view_w, obs, valid, board_pts,
+def _run_ba_stage(params0, free_mask, view_w, obs, valid,
                   model_name: str, max_iters: int):
     model = cameras.get_model(model_name)
-    layout = _build_layout(obs.shape[0], model.num_params)
-    residual = _make_residual_fn(model, obs, valid, board_pts)
+    layout = _build_layout(obs.shape[0], model.num_params, params0["pts"].shape[0])
+    residual = _make_residual_fn(model, obs, valid)
     wfn = lambda r: robust.huber_sqrt_weights(r, HUBER_PX, group_size=2)
     lin, cost, retract = lm.make_dense_linearizer(
         lambda p: residual(p, view_w), layout, weight_fn=wfn)
@@ -88,9 +92,9 @@ def _run_ba_stage(params0, free_mask, view_w, obs, valid, board_pts,
 
 
 @functools.partial(jax.jit, static_argnames=("model_name",))
-def _per_view_rmse(params, obs, valid, board_pts, model_name: str):
+def _per_view_rmse(params, obs, valid, model_name: str):
     model = cameras.get_model(model_name)
-    p_cam = lie.quat_rotate(params["q_cw"][:, None, :], board_pts[None]) + params["t_cw"][:, None, :]
+    p_cam = lie.quat_rotate(params["q_cw"][:, None, :], params["pts"][None]) + params["t_cw"][:, None, :]
     uv, ok = model.project(params["cam"], p_cam)
     good = valid & ok
     err2 = jnp.sum((uv - obs) ** 2, -1) * good
@@ -99,11 +103,11 @@ def _per_view_rmse(params, obs, valid, board_pts, model_name: str):
 
 
 @functools.partial(jax.jit, static_argnames=("model_name",))
-def mean_reproj_error(params, obs, valid, board_pts, model_name: str, view_w):
+def mean_reproj_error(params, obs, valid, model_name: str, view_w):
     """Mean per-observation pixel error over active views (the metric the
     reference reports, camera_calibrator.cc:364-368)."""
     model = cameras.get_model(model_name)
-    p_cam = lie.quat_rotate(params["q_cw"][:, None, :], board_pts[None]) + params["t_cw"][:, None, :]
+    p_cam = lie.quat_rotate(params["q_cw"][:, None, :], params["pts"][None]) + params["t_cw"][:, None, :]
     uv, ok = model.project(params["cam"], p_cam)
     good = valid & ok & (view_w[:, None] > 0)
     err = jnp.linalg.norm(uv - obs, axis=-1) * good
@@ -167,8 +171,9 @@ def calibrate_camera(dataset: CornerDataset, model_name: str,
         "cam": model.init_params(f0, w / 2.0, h / 2.0, dtype=dt),
         "q_cw": jnp.asarray(q_cw[picked], dt),
         "t_cw": jnp.asarray(t_cw[picked], dt),
+        "pts": board_pts,
     }
-    layout = _build_layout(picked.size, model.num_params)
+    layout = _build_layout(picked.size, model.num_params, board_pts.shape[0])
     groups = model.param_groups
     view_w = jnp.ones((picked.size,), dt)
 
@@ -178,30 +183,41 @@ def calibrate_camera(dataset: CornerDataset, model_name: str,
         return m
 
     # Stage 1: focal + distortion + poses (camera_calibrator.cc:146-162).
-    mask1 = layout.free_mask(partial_masks={"cam": cam_mask(groups["focal"] + groups["dist"])})
-    params, cost, it1 = _run_ba_stage(params, mask1, view_w, obs, valid, board_pts,
+    mask1 = layout.free_mask(fixed=["pts"],
+                             partial_masks={"cam": cam_mask(groups["focal"] + groups["dist"])})
+    params, cost, it1 = _run_ba_stage(params, mask1, view_w, obs, valid,
                                       model.name, opts.max_iters)
-    rmse, _ = _per_view_rmse(params, obs, valid, board_pts, model.name)
+    rmse, _ = _per_view_rmse(params, obs, valid, model.name)
     view_w = view_w * (rmse < opts.stage1_prune_px)
 
     # Stage 2: principal point only (camera_calibrator.cc:164-174).
-    mask2 = layout.free_mask(fixed=["q_cw", "t_cw"],
+    mask2 = layout.free_mask(fixed=["q_cw", "t_cw", "pts"],
                              partial_masks={"cam": cam_mask(groups["pp"])})
-    params, cost, it2 = _run_ba_stage(params, mask2, view_w, obs, valid, board_pts,
+    params, cost, it2 = _run_ba_stage(params, mask2, view_w, obs, valid,
                                       model.name, opts.max_iters)
 
     # Stage 3: all intrinsics + poses, prune > 2 px (camera_calibrator.cc:181-201).
-    mask3 = layout.free_mask()
-    params, cost, it3 = _run_ba_stage(params, mask3, view_w, obs, valid, board_pts,
+    mask3 = layout.free_mask(fixed=["pts"])
+    params, cost, it3 = _run_ba_stage(params, mask3, view_w, obs, valid,
                                       model.name, opts.max_iters)
-    rmse, _ = _per_view_rmse(params, obs, valid, board_pts, model.name)
+    rmse, _ = _per_view_rmse(params, obs, valid, model.name)
     view_w = view_w * (rmse < opts.stage3_prune_px)
-    params, cost, it4 = _run_ba_stage(params, mask3, view_w, obs, valid, board_pts,
+    params, cost, it4 = _run_ba_stage(params, mask3, view_w, obs, valid,
                                       model.name, opts.max_iters)
 
-    rmse, good = _per_view_rmse(params, obs, valid, board_pts, model.name)
+    if opts.optimize_board_points:
+        # Stage 4: free the board points too; anchor the gauge by keeping
+        # the first two corners fixed (translation + scale/rotation pin,
+        # replacing the reference's homogeneous parameterization).
+        pts_mask = np.ones((board_pts.shape[0], 3))
+        pts_mask[:2] = 0.0
+        mask4 = layout.free_mask(partial_masks={"pts": pts_mask})
+        params, cost, it5 = _run_ba_stage(params, mask4, view_w, obs, valid,
+                                          model.name, opts.max_iters)
+
+    rmse, good = _per_view_rmse(params, obs, valid, model.name)
     active = np.asarray(view_w) > 0
-    err = float(mean_reproj_error(params, obs, valid, board_pts, model.name, view_w))
+    err = float(mean_reproj_error(params, obs, valid, model.name, view_w))
 
     calib = CameraCalibration(
         model_name=model.name, params=np.asarray(params["cam"]),
@@ -210,6 +226,6 @@ def calibrate_camera(dataset: CornerDataset, model_name: str,
         "picked_views": picked, "active": active,
         "q_cw": np.asarray(params["q_cw"]), "t_cw": np.asarray(params["t_cw"]),
         "per_view_rmse": np.asarray(rmse), "iters": [int(it1), int(it2), int(it3), int(it4)],
-        "init_focal": f0,
+        "init_focal": f0, "board_points": np.asarray(params["pts"]),
     }
     return calib, details

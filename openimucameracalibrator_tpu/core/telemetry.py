@@ -200,3 +200,51 @@ def write_kalibr_csv(tel: CameraTelemetry, path: str):
         for t, g, a in zip(tel.imu.times, tel.imu.gyro, tel.imu.accel):
             t_ns = int(round(t / NS))
             f.write(f"{t_ns},{g[0]},{g[1]},{g[2]},{a[0]},{a[1]},{a[2]}\n")
+
+
+# ---------------------------------------------------------------------------
+# GPS utilities + multi-file tools
+# ---------------------------------------------------------------------------
+
+_WGS84_A = 6378137.0
+_WGS84_E2 = 6.69437999014e-3
+
+
+def geodetic_to_ecef(lat_deg, lon_deg, alt_m):
+    """WGS84 geodetic -> ECEF (replaces the reference's pymap3d use,
+    telemetry_converter.py:346-385). Accepts arrays."""
+    lat = np.deg2rad(np.asarray(lat_deg, np.float64))
+    lon = np.deg2rad(np.asarray(lon_deg, np.float64))
+    alt = np.asarray(alt_m, np.float64)
+    n = _WGS84_A / np.sqrt(1.0 - _WGS84_E2 * np.sin(lat) ** 2)
+    x = (n + alt) * np.cos(lat) * np.cos(lon)
+    y = (n + alt) * np.cos(lat) * np.sin(lon)
+    z = (n * (1.0 - _WGS84_E2) + alt) * np.sin(lat)
+    return np.stack([x, y, z], axis=-1)
+
+
+def gps_positions_at_times(gps_times, gps_llh, query_times):
+    """Interpolate ECEF GPS positions at arbitrary (e.g. frame) times
+    (telemetry_converter.py get_gps_pos_at_frametimes)."""
+    ecef = geodetic_to_ecef(gps_llh[:, 0], gps_llh[:, 1], gps_llh[:, 2])
+    out = np.stack([np.interp(query_times, gps_times, ecef[:, k]) for k in range(3)], -1)
+    inside = (query_times >= gps_times[0]) & (query_times <= gps_times[-1])
+    return out, inside
+
+
+def merge_telemetry(telemetries):
+    """Concatenate several recordings end-to-end on a common timeline
+    (python/merge_gopro_telemetry_from_folder.py equivalent; used to build
+    long Allan-variance inputs)."""
+    t_off = 0.0
+    times, accel, gyro = [], [], []
+    for tel in telemetries:
+        t = np.asarray(tel.imu.times)
+        times.append(t - t[0] + t_off)
+        accel.append(tel.imu.accel)
+        gyro.append(tel.imu.gyro)
+        dt = float(np.median(np.diff(t))) if len(t) > 1 else 0.005
+        t_off = times[-1][-1] + dt
+    return CameraTelemetry(imu=ImuData(
+        times=np.concatenate(times), accel=np.concatenate(accel),
+        gyro=np.concatenate(gyro)))

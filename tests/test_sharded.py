@@ -77,3 +77,20 @@ def test_sharded_padding_is_neutral(small_problem):
     H1, g1, c1 = lin_pad(params0)
     np.testing.assert_allclose(np.asarray(H1), np.asarray(H0), atol=1e-12)
     np.testing.assert_allclose(float(c1), float(c0), rtol=1e-12)
+
+
+def test_fast_assembly_matches_scatter(small_problem):
+    """Chunk-local dense assembly must equal the direct scatter path."""
+    p, params0 = small_problem
+    layout = se.build_layout(p)
+    lin_s, cost_s = se.make_solver_functions(p, layout)
+    lin_f, cost_f = se.make_solver_functions_fast(p, layout, obs_chunk=1024,
+                                                  imu_chunk=64)
+    H0, g0, c0 = lin_s(params0)
+    H1, g1, c1 = lin_f(params0)
+    scale = max(1.0, float(jnp.max(jnp.abs(H0))))
+    np.testing.assert_allclose(np.asarray(H1), np.asarray(H0), atol=1e-9 * scale)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), atol=1e-6)
+    np.testing.assert_allclose(float(c1), float(c0), rtol=1e-12)
+    np.testing.assert_allclose(float(cost_f(params0)), float(cost_s(params0)),
+                               rtol=1e-12)
