@@ -129,13 +129,11 @@ def board_main(argv=None):
     p.add_argument("--px_per_square", type=int, default=100)
     args = p.parse_args(argv)
 
-    import cv2
-
     from openimucameracalibrator_tpu.core import board_extractor
 
     opts = board_extractor.BoardExtractorOptions(
         squares_x=args.squares_x, squares_y=args.squares_y,
         square_length=args.square_length, marker_length=args.marker_length)
     img = board_extractor.render_charuco_board_image(opts, args.px_per_square)
-    cv2.imwrite(args.output_path, img)
+    board_extractor.save_image(args.output_path, img)
     print(f"board image -> {args.output_path}")

@@ -5,12 +5,20 @@ Equivalent of the reference's BoardExtractor
 ExtractVideoToJson / ExtractImageFolderToJson) and the board-PNG generator
 (applications/create_charuco_board.cc:30-67).
 
-Detection runs host-side on OpenCV (the reference uses the same detectors:
-aruco/charuco for charuco boards :135-173, findChessboardCornersSB for
-radon boards :205, apriltag grids via the AprilTag 36h11 dictionary
-:226-232). Output is the statically-shaped CornerDataset artifact the
-TPU pipeline consumes; a Pallas corner-refinement path can slot in behind
-the same interface.
+Two detection backends behind one interface:
+
+* ``native`` (default): the in-house TPU-first stack in
+  openimucameracalibrator_tpu.detect — JAX adaptive threshold / corner
+  response / subpixel refinement / marker-bit decode, host-side quad and
+  lattice logic. No OpenCV required.
+* ``opencv``: the reference's own detectors (aruco/charuco
+  board_extractor.cc:135-173, findChessboardCornersSB :205, apriltag via
+  the 36h11 dictionary :226-232) when cv2 is installed — useful for
+  cross-validating the native detector on real footage.
+
+Video decode needs a host decoder (cv2 or imageio); image folders are read
+with PIL. Output is the statically-shaped CornerDataset artifact the TPU
+pipeline consumes.
 """
 
 from __future__ import annotations
@@ -21,6 +29,11 @@ from typing import Iterable, Iterator, Tuple
 
 import numpy as np
 
+from openimucameracalibrator_tpu.detect import aruco_dict as adict_mod
+from openimucameracalibrator_tpu.detect import charuco as charuco_mod
+from openimucameracalibrator_tpu.detect import checkerboard as checker_mod
+from openimucameracalibrator_tpu.detect import quads as quads_mod
+from openimucameracalibrator_tpu.detect import render as render_mod
 from openimucameracalibrator_tpu.models import boards as boards_mod
 from openimucameracalibrator_tpu.utils.types import CornerDataset
 
@@ -34,8 +47,60 @@ class BoardExtractorOptions:
     marker_length: float = 0.03
     aruco_dict: str = "DICT_ARUCO_ORIGINAL"  # board_extractor.cc:46 default
     downsample_factor: float = 1.0  # resize 1/f (board_extractor.cc:414-430)
+    backend: str = "native"  # "native" | "opencv"
+    dictionary: object = None  # explicit ArucoDictionary override
     verbose: bool = False
 
+
+def _native_dictionary(opts: BoardExtractorOptions) -> adict_mod.ArucoDictionary:
+    if opts.dictionary is not None:
+        return opts.dictionary
+    if opts.aruco_dict.upper() in ("DICT_ARUCO_ORIGINAL", "ARUCO_ORIGINAL"):
+        return adict_mod.aruco_original_dictionary()
+    if opts.aruco_dict.upper() in ("DICT_APRILTAG_36H11", "TAG36H11"):
+        # tag36h11's code table is data, not algorithm; without it installed
+        # we use a seeded high-distance dictionary (self-consistent for
+        # boards rendered by this framework; supply real codes via
+        # detect.aruco_dict.dictionary_from_codes for cross-tool boards).
+        return adict_mod.random_dictionary(36, marker_size=6, seed=11)
+    raise ValueError(f"unknown dictionary {opts.aruco_dict!r} for native backend")
+
+
+def make_native_detector(opts: BoardExtractorOptions):
+    """detect(gray) -> (ids, corners_px) using the in-house stack."""
+    bt = boards_mod.BoardType(opts.board_type.lower())
+    if bt == boards_mod.BoardType.CHARUCO:
+        spec = charuco_mod.CharucoBoardSpec(
+            opts.squares_x, opts.squares_y, opts.square_length,
+            opts.marker_length, _native_dictionary(opts))
+        return lambda g: charuco_mod.detect_charuco(np.asarray(g, np.float32), spec)
+    if bt == boards_mod.BoardType.RADON:
+        return lambda g: checker_mod.detect_checkerboard(
+            np.asarray(g, np.float32), opts.squares_x, opts.squares_y)
+
+    dictionary = _native_dictionary(opts)
+
+    def detect_april(gray):
+        mids, mcorners = quads_mod.detect_markers(np.asarray(gray, np.float32),
+                                                  dictionary)
+        # Marker-image corner j (TL,TR,BR,BL) maps to aprilgrid board corner
+        # 4*t + [3,2,1,0][j] (board +y up; see models/boards.py::apriltag_board
+        # and detect/render.py::render_aprilgrid).
+        board_c = (3, 2, 1, 0)
+        ids, pts = [], []
+        for t, cs in zip(mids, mcorners):
+            for j in range(4):
+                ids.append(4 * int(t) + board_c[j])
+                pts.append(cs[j])
+        return (np.asarray(ids, np.int64) if ids else np.zeros((0,), np.int64),
+                np.asarray(pts) if pts else np.zeros((0, 2)))
+
+    return detect_april
+
+
+# ---------------------------------------------------------------------------
+# Optional OpenCV backend (cross-validation / video decode)
+# ---------------------------------------------------------------------------
 
 def _cv2():
     import cv2
@@ -54,7 +119,7 @@ def _make_charuco_detector(opts: BoardExtractorOptions):
     return cv2.aruco.CharucoDetector(board, params, det_params), board
 
 
-def detect_charuco(gray: np.ndarray, detector) -> Tuple[np.ndarray, np.ndarray]:
+def detect_charuco_cv(gray: np.ndarray, detector) -> Tuple[np.ndarray, np.ndarray]:
     """(corner ids (K,), corners (K, 2)) for one grayscale frame."""
     corners, ids, _, _ = detector.detectBoard(gray)
     if corners is None or ids is None or len(corners) == 0:
@@ -62,7 +127,7 @@ def detect_charuco(gray: np.ndarray, detector) -> Tuple[np.ndarray, np.ndarray]:
     return ids.reshape(-1).astype(np.int64), corners.reshape(-1, 2).astype(np.float64)
 
 
-def detect_radon(gray: np.ndarray, opts: BoardExtractorOptions):
+def detect_radon_cv(gray: np.ndarray, opts: BoardExtractorOptions):
     """findChessboardCornersSB path (board_extractor.cc:205)."""
     cv2 = _cv2()
     nx, ny = opts.squares_x - 1, opts.squares_y - 1
@@ -73,16 +138,8 @@ def detect_radon(gray: np.ndarray, opts: BoardExtractorOptions):
     return np.arange(nx * ny, dtype=np.int64), corners.reshape(-1, 2).astype(np.float64)
 
 
-def _make_apriltag_detector(opts: BoardExtractorOptions):
-    cv2 = _cv2()
-    adict = cv2.aruco.getPredefinedDictionary(cv2.aruco.DICT_APRILTAG_36h11)
-    det_params = cv2.aruco.DetectorParameters()
-    det_params.cornerRefinementMethod = cv2.aruco.CORNER_REFINE_SUBPIX
-    return cv2.aruco.ArucoDetector(adict, det_params)
-
-
-def detect_apriltag(gray: np.ndarray, detector):
-    """Kalibr-style aprilgrid: tag t corner c -> id 4*t + c."""
+def detect_apriltag_cv(gray: np.ndarray, detector):
+    """Kalibr-style aprilgrid via cv2 aruco: tag t corner c -> id 4*t + c."""
     corners, ids, _ = detector.detectMarkers(gray)
     if ids is None or len(ids) == 0:
         return np.zeros((0,), np.int64), np.zeros((0, 2), np.float64)
@@ -94,11 +151,30 @@ def detect_apriltag(gray: np.ndarray, detector):
     return np.asarray(out_ids, np.int64), np.asarray(out_pts, np.float64)
 
 
+def make_opencv_detector(opts: BoardExtractorOptions):
+    cv2 = _cv2()
+    bt = boards_mod.BoardType(opts.board_type.lower())
+    if bt == boards_mod.BoardType.CHARUCO:
+        detector, _ = _make_charuco_detector(opts)
+        return lambda g: detect_charuco_cv(g, detector)
+    if bt == boards_mod.BoardType.RADON:
+        return lambda g: detect_radon_cv(g, opts)
+    adict = cv2.aruco.getPredefinedDictionary(cv2.aruco.DICT_APRILTAG_36h11)
+    det_params = cv2.aruco.DetectorParameters()
+    det_params.cornerRefinementMethod = cv2.aruco.CORNER_REFINE_SUBPIX
+    detector = cv2.aruco.ArucoDetector(adict, det_params)
+    return lambda g: detect_apriltag_cv(g, detector)
+
+
+# ---------------------------------------------------------------------------
+# Frame sources
+# ---------------------------------------------------------------------------
+
 def iter_video_frames(video_path: str, downsample: float = 1.0) -> Iterator[tuple]:
     """(timestamp_s, gray frame) per video frame (board_extractor.cc:385-430).
 
     Tolerates up to 500 consecutive bad reads like the reference
-    (:415-418).
+    (:415-418). Requires cv2 for decode.
     """
     cv2 = _cv2()
     cap = cv2.VideoCapture(video_path)
@@ -123,20 +199,33 @@ def iter_video_frames(video_path: str, downsample: float = 1.0) -> Iterator[tupl
     cap.release()
 
 
+def load_gray_image(path: str) -> np.ndarray:
+    """Grayscale uint8 image via PIL (no OpenCV dependency)."""
+    from PIL import Image
+
+    with Image.open(path) as img:
+        return np.asarray(img.convert("L"))
+
+
+def save_image(path: str, img: np.ndarray) -> None:
+    from PIL import Image
+
+    Image.fromarray(np.asarray(img, np.uint8)).save(path)
+
+
+# ---------------------------------------------------------------------------
+# Extraction drivers
+# ---------------------------------------------------------------------------
+
 def extract_board(frames: Iterable[tuple], opts: BoardExtractorOptions,
                   fps: float = 0.0) -> CornerDataset:
     """Detect board corners on an iterable of (time_s, gray) frames."""
     board = boards_mod.make_board(opts.board_type, opts.squares_x, opts.squares_y,
                                   opts.square_length, opts.marker_length)
-    bt = boards_mod.BoardType(opts.board_type.lower())
-    if bt == boards_mod.BoardType.CHARUCO:
-        detector, _ = _make_charuco_detector(opts)
-        detect = lambda g: detect_charuco(g, detector)
-    elif bt == boards_mod.BoardType.RADON:
-        detect = lambda g: detect_radon(g, opts)
+    if opts.backend == "opencv":
+        detect = make_opencv_detector(opts)
     else:
-        detector = _make_apriltag_detector(opts)
-        detect = lambda g: detect_apriltag(g, detector)
+        detect = make_native_detector(opts)
 
     times, all_ids, all_pts = [], [], []
     shape = None
@@ -144,8 +233,8 @@ def extract_board(frames: Iterable[tuple], opts: BoardExtractorOptions,
         shape = gray.shape
         ids, pts = detect(gray)
         times.append(t)
-        all_ids.append(ids)
-        all_pts.append(pts)
+        all_ids.append(np.asarray(ids, np.int64))
+        all_pts.append(np.asarray(pts, np.float64).reshape(-1, 2))
 
     P = board.num_points
     V = len(times)
@@ -170,15 +259,15 @@ def extract_board_from_video(video_path: str, opts: BoardExtractorOptions) -> Co
 def extract_board_from_image_folder(folder: str, fps: float,
                                     opts: BoardExtractorOptions) -> CornerDataset:
     """Image-folder path (board_extractor.cc:268-383); frame time = k/fps."""
-    cv2 = _cv2()
     files = sorted(os.listdir(folder))
     files = [f for f in files if f.lower().endswith((".png", ".jpg", ".jpeg", ".bmp"))]
 
     def gen():
         for k, fname in enumerate(files):
-            img = cv2.imread(os.path.join(folder, fname), cv2.IMREAD_GRAYSCALE)
-            if img is None:
-                continue
+            img = load_gray_image(os.path.join(folder, fname))
+            if opts.downsample_factor and opts.downsample_factor != 1.0:
+                s = int(opts.downsample_factor)
+                img = img[::s, ::s]
             yield k / fps, img
 
     return extract_board(gen(), opts, fps=fps)
@@ -186,9 +275,7 @@ def extract_board_from_image_folder(folder: str, fps: float,
 
 def render_charuco_board_image(opts: BoardExtractorOptions, px_per_square: int = 100,
                                margin_px: int = 20) -> np.ndarray:
-    """Printable board PNG (create_charuco_board.cc:30-67)."""
-    cv2 = _cv2()
-    _, board = _make_charuco_detector(opts)
-    size = (opts.squares_x * px_per_square + 2 * margin_px,
-            opts.squares_y * px_per_square + 2 * margin_px)
-    return board.generateImage(size, marginSize=margin_px)
+    """Printable board PNG (create_charuco_board.cc:30-67), native renderer."""
+    return render_mod.render_charuco_board(
+        _native_dictionary(opts), opts.squares_x, opts.squares_y,
+        opts.square_length, opts.marker_length, px_per_square, margin_px)

@@ -52,7 +52,12 @@ def homography_dlt(obj_xy: jax.Array, img_xy: jax.Array, mask: jax.Array) -> jax
     r1 = jnp.stack([x, y, one, zero, zero, zero, -u * x, -u * y, -u], -1)
     r2 = jnp.stack([zero, zero, zero, x, y, one, -v * x, -v * y, -v], -1)
     A = jnp.concatenate([r1 * mask[..., None], r2 * mask[..., None]], axis=-2)
-    # h = right singular vector of smallest singular value.
+    # h = right singular vector of the smallest singular value. With the
+    # minimal 4-point system A is (8, 9) and full_matrices=False would drop
+    # the nullspace vector entirely — pad to at least 9 rows.
+    if A.shape[-2] < A.shape[-1]:
+        pad = [(0, 0)] * (A.ndim - 2) + [(0, A.shape[-1] - A.shape[-2]), (0, 0)]
+        A = jnp.pad(A, pad)
     _, _, vt = jnp.linalg.svd(A, full_matrices=False)
     h = vt[..., -1, :]
     Hn = h.reshape(h.shape[:-1] + (3, 3))
