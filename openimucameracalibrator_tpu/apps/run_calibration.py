@@ -55,8 +55,11 @@ def _read_telemetry(path, fmt):
     readers = {"generic": telemetry.read_generic_json,
                "gopro": telemetry.read_gopro_telemetry,
                "pygpmf": telemetry.read_pygpmf_json,
+               "mp4": telemetry.read_gopro_mp4,
                "zed": telemetry.read_zed_jsonl,
                "csv": telemetry.read_generic_csv}
+    if fmt == "gopro" and path.lower().endswith(".mp4"):
+        fmt = "mp4"  # native GPMF extraction straight from the recording
     return readers[fmt](path)
 
 

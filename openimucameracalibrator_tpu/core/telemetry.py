@@ -248,3 +248,11 @@ def merge_telemetry(telemetries):
     return CameraTelemetry(imu=ImuData(
         times=np.concatenate(times), accel=np.concatenate(accel),
         gyro=np.concatenate(gyro)))
+
+
+def read_gopro_mp4(path: str, skip_seconds: float = 0.0) -> CameraTelemetry:
+    """GoPro MP4 -> telemetry via the native GPMF reader (replaces the
+    reference's py_gpmf_parser stage, run_gopro_calibration.py:198-206)."""
+    from openimucameracalibrator_tpu.core import gpmf
+
+    return gpmf.read_gopro_mp4(path, skip_seconds=skip_seconds)

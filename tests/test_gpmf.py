@@ -1,0 +1,154 @@
+"""Native GPMF/MP4 telemetry reader round trip: synthesize a GoPro-style
+MP4 (gpmd track with DEVC/STRM KLV payloads + a stub video track), parse it
+with the C++ reader, and verify streams, scaling, timing, and the GoPro
+axis conventions of core.gpmf.read_gopro_mp4."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from openimucameracalibrator_tpu.core import gpmf
+from openimucameracalibrator_tpu.utils import native
+
+
+def klv(key: bytes, type_c: bytes, ssize: int, repeat: int, data: bytes) -> bytes:
+    pad = (-len(data)) % 4
+    return struct.pack(">4scBH", key, type_c, ssize, repeat) + data + b"\0" * pad
+
+
+def klv_nested(key: bytes, inner: bytes) -> bytes:
+    assert len(inner) % 4 == 0
+    return struct.pack(">4scBH", key, b"\0", 1, len(inner)) + inner
+
+
+def sensor_stream(key: bytes, values: np.ndarray, scale: int) -> bytes:
+    """STRM with int16 sensor data + SCAL (GoPro ACCL/GYRO/CORI layout)."""
+    n, c = values.shape
+    raw = np.round(values * scale).astype(">i2")
+    inner = klv(b"STNM", b"c", 1, 4, b"test")
+    inner += klv(b"SCAL", b"s", 2, 1, struct.pack(">h", scale))
+    inner += klv(key, b"s", 2 * c, n, raw.tobytes())
+    return klv_nested(b"STRM", inner)
+
+
+def payload(streams: bytes) -> bytes:
+    inner = klv(b"DVID", b"L", 4, 1, struct.pack(">L", 1))
+    inner += klv(b"DVNM", b"c", 1, 8, b"GoPro   ")
+    inner += streams
+    return klv_nested(b"DEVC", inner)
+
+
+def box(type4: bytes, payload_b: bytes) -> bytes:
+    return struct.pack(">I4s", 8 + len(payload_b), type4) + payload_b
+
+
+def full_box(type4: bytes, body: bytes, version=0, flags=0) -> bytes:
+    return box(type4, struct.pack(">I", (version << 24) | flags) + body)
+
+
+def make_track(handler: bytes, fmt: bytes, timescale: int,
+               stts: list, sample_sizes: list, chunk_offsets: list) -> bytes:
+    hdlr = full_box(b"hdlr", struct.pack(">I4s", 0, handler) + b"\0" * 13)
+    mdhd = full_box(b"mdhd", struct.pack(">IIII", 0, 0, timescale, 0)
+                    + struct.pack(">HH", 0x55C4, 0))
+    stsd = full_box(b"stsd", struct.pack(">I", 1)
+                    + struct.pack(">I4s", 16, fmt) + b"\0" * 8)
+    stts_b = full_box(b"stts", struct.pack(">I", len(stts))
+                      + b"".join(struct.pack(">II", c, d) for c, d in stts))
+    stsz = full_box(b"stsz", struct.pack(">II", 0, len(sample_sizes))
+                    + b"".join(struct.pack(">I", s) for s in sample_sizes))
+    stsc = full_box(b"stsc", struct.pack(">I", 1) + struct.pack(">III", 1, 1, 1))
+    stco = full_box(b"stco", struct.pack(">I", len(chunk_offsets))
+                    + b"".join(struct.pack(">I", o) for o in chunk_offsets))
+    stbl = box(b"stbl", stsd + stts_b + stsz + stsc + stco)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    return box(b"trak", mdia)
+
+
+@pytest.fixture(scope="module")
+def sample_mp4(tmp_path_factory):
+    rng = np.random.default_rng(0)
+    n_payloads, hz, fps = 3, 200, 60
+    accl = rng.normal(0, 2, (n_payloads, hz, 3)) + [0, 0, 9.81]
+    gyro = rng.normal(0, 0.5, (n_payloads, hz, 3))
+    payloads = [payload(sensor_stream(b"ACCL", accl[k], 418)
+                        + sensor_stream(b"GYRO", gyro[k], 939))
+                for k in range(n_payloads)]
+
+    ftyp = box(b"ftyp", b"mp41" + struct.pack(">I", 0) + b"mp41")
+    # mdat starts right after ftyp; chunk offsets are absolute
+    mdat_payload = b"".join(payloads)
+    mdat_off = len(ftyp)
+    offsets = []
+    cur = mdat_off + 8
+    for p in payloads:
+        offsets.append(cur)
+        cur += len(p)
+    mdat = box(b"mdat", mdat_payload)
+
+    gp_trak = make_track(b"meta", b"gpmd", 1000,
+                         [(n_payloads, 1000)],  # 1 s per payload
+                         [len(p) for p in payloads], offsets)
+    vid_trak = make_track(b"vide", b"avc1", 60000,
+                          [(n_payloads * fps, 1000)],  # 60 fps
+                          [1] * (n_payloads * fps), [mdat_off + 8])
+    moov = box(b"moov", gp_trak + vid_trak)
+
+    path = tmp_path_factory.mktemp("gpmf") / "sample.mp4"
+    path.write_bytes(ftyp + mdat + moov)
+    return str(path), accl, gyro
+
+
+def test_native_library_builds():
+    lib = native.load_library("gpmf_reader")
+    assert lib is not None
+
+
+def test_gpmf_streams_and_scaling(sample_mp4):
+    path, accl, gyro = sample_mp4
+    with gpmf.GpmfFile(path) as f:
+        names = f.stream_names()
+        assert "ACCL" in names and "GYRO" in names
+        t, vals = f.stream("ACCL")
+        assert vals.shape == (3 * 200, 3)
+        want = np.round(accl.reshape(-1, 3) * 418) / 418
+        np.testing.assert_allclose(vals, want, atol=1e-12)
+        # payload k spans [k, k+1) s, 200 samples uniform
+        np.testing.assert_allclose(t[:3], [0.0, 1 / 200, 2 / 200], atol=1e-12)
+        np.testing.assert_allclose(t[200], 1.0, atol=1e-12)
+
+
+def test_gpmf_frame_times(sample_mp4):
+    path, _, _ = sample_mp4
+    with gpmf.GpmfFile(path) as f:
+        ft = f.frame_times()
+        assert len(ft) == 180
+        np.testing.assert_allclose(np.diff(ft), 1 / 60, atol=1e-9)
+
+
+def test_read_gopro_mp4_conventions(sample_mp4):
+    path, accl, gyro = sample_mp4
+    tel = gpmf.read_gopro_mp4(path)
+    assert tel.imu.times.shape == (600,)
+    # channel remap [1, 2, 0]
+    want = (np.round(accl.reshape(-1, 3) * 418) / 418)[:, [1, 2, 0]]
+    np.testing.assert_allclose(tel.imu.accel, want, atol=1e-12)
+    assert tel.img_times is not None and len(tel.img_times) == 180
+    assert abs(tel.imu.rate_hz - 200.0) < 1.0
+
+
+def test_read_gopro_mp4_missing_streams(tmp_path):
+    # an mp4 with no gpmd track -> clear error
+    ftyp = box(b"ftyp", b"mp41" + struct.pack(">I", 0) + b"mp41")
+    vid = make_track(b"vide", b"avc1", 60000, [(10, 1000)], [1] * 10, [0])
+    path = tmp_path / "plain.mp4"
+    path.write_bytes(ftyp + box(b"moov", vid))
+    with pytest.raises(ValueError):
+        gpmf.read_gopro_mp4(str(path))
+
+
+def test_gpmf_open_missing_file():
+    with pytest.raises(FileNotFoundError):
+        gpmf.GpmfFile("/nonexistent/file.mp4")
