@@ -45,6 +45,8 @@ def calibrate_imu_camera(corners: CornerDataset, calib: CameraCalibration,
                          accel_bias0=None, gyro_bias0=None,
                          optimize_gravity: bool = True,
                          refine_time_offset: bool = True,
+                         accl_intrinsics=None, gyro_intrinsics=None,
+                         optimize_imu_intrinsics: bool = False,
                          max_iters: int = 50, line_delay_iters: int = 10,
                          dtype=jnp.float64) -> ImuCameraCalibrationResult:
     """Full batch calibration (reference stage 8).
@@ -70,13 +72,18 @@ def calibrate_imu_camera(corners: CornerDataset, calib: CameraCalibration,
         h = image_height or corners.image_size[1]
         fps = sew.cam_fps or 30.0
         params0["line_delay"] = jnp.asarray([1.0 / fps / h], dtype)
+    # Known IMU intrinsics from static multi-pose calibration
+    # (SetIMUIntrinsics, impl.h:1236-1248; read at continuous_time...cc).
+    if accl_intrinsics is not None:
+        params0["accl_intr"] = se.accl_intr_from(accl_intrinsics, dtype)
+    if gyro_intrinsics is not None:
+        params0["gyro_intr"] = se.gyro_intr_from(gyro_intrinsics, dtype)
 
     flags = {se.SPLINE, se.T_I_C, se.IMU_BIASES}
     if optimize_gravity:
         flags.add(se.GRAVITY_DIR)
-    res = se.optimize(problem, params0, frozenset(flags), max_iters=max_iters)
-    iters = int(res.iterations)
-    params = res.params
+    if optimize_imu_intrinsics:
+        flags.add(se.IMU_INTRINSICS)
     stage2 = set()
     if rolling_shutter:
         stage2.add(se.CAM_LINE_DELAY)  # continuous_time...cc:218-221
@@ -84,12 +91,13 @@ def calibrate_imu_camera(corners: CornerDataset, calib: CameraCalibration,
         # Improvement over the reference: refine the vision/IMU time offset
         # jointly (the init carries RS + pose-noise bias; see TIME_OFFSET).
         stage2.add(se.TIME_OFFSET)
+    schedule = [(frozenset(flags), max_iters)]
     if stage2 and line_delay_iters > 0:
-        res2 = se.optimize(problem, params, frozenset(flags | stage2),
-                           max_iters=line_delay_iters)
-        params = res2.params
-        iters += int(res2.iterations)
-        res = res2
+        schedule.append((frozenset(flags | stage2), line_delay_iters))
+    results = se.optimize_stages(problem, params0, schedule)
+    res = results[-1]
+    params = res.params
+    iters = sum(int(r.iterations) for r in results)
 
     err = se.mean_reprojection_error(problem, params)
     return ImuCameraCalibrationResult(

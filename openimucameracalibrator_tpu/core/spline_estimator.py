@@ -58,6 +58,9 @@ T_I_C = "t_i_c"
 IMU_BIASES = "imu_biases"
 GRAVITY_DIR = "gravity"
 CAM_LINE_DELAY = "line_delay"
+IMU_INTRINSICS = "imu_intrinsics"
+ACC_BIAS = "acc_bias"  # granular bias flags (SplineOptimFlags ACC_BIAS/GYR_BIAS)
+GYR_BIAS = "gyr_bias"
 # Extension over the reference: the vision-vs-IMU time offset can be refined
 # inside the batch problem (the reference freezes it after the golden-section
 # init, which carries an O(line_delay * image_height / 2) rolling-shutter
@@ -109,7 +112,53 @@ def build_layout(p: SplineProblem) -> blocks.BlockLayout:
         blocks.BlockSpec("t_i_c", (3,)),
         blocks.BlockSpec("line_delay", (1,)),
         blocks.BlockSpec("time_offset", (1,)),
+        blocks.BlockSpec("accl_intr", (6,)),
+        blocks.BlockSpec("gyro_intr", (9,)),
     ])
+
+
+def identity_accl_intr(dtype=jnp.float64):
+    """[mis_yz, mis_zy, mis_zx, sx, sy, sz] (SetIMUIntrinsics packing,
+    spline_trajectory_estimator.impl.h:1236-1248)."""
+    return jnp.asarray([0.0, 0.0, 0.0, 1.0, 1.0, 1.0], dtype)
+
+
+def identity_gyro_intr(dtype=jnp.float64):
+    """[mis_yz, mis_zy, mis_zx, mis_xz, mis_xy, mis_yx, sx, sy, sz]."""
+    return jnp.asarray([0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0], dtype)
+
+
+def accl_intr_matrix(v):
+    """T@K for the 'body-frame' accelerometer triad: upper-triangular
+    misalignment x scale (ThreeAxisSensorCalibParams, types.h:176-218)."""
+    z = jnp.zeros((), v.dtype)
+    return jnp.stack([
+        jnp.stack([v[3], -v[0] * v[4], v[1] * v[5]]),
+        jnp.stack([z, v[4], -v[2] * v[5]]),
+        jnp.stack([z, z, v[5]]),
+    ])
+
+
+def gyro_intr_matrix(v):
+    """T@K for the general gyroscope triad (full misalignment matrix)."""
+    return jnp.stack([
+        jnp.stack([v[6], -v[0] * v[7], v[1] * v[8]]),
+        jnp.stack([v[3] * v[6], v[7], -v[2] * v[8]]),
+        jnp.stack([-v[4] * v[6], v[5] * v[7], v[8]]),
+    ])
+
+
+def accl_intr_from(intr, dtype=jnp.float64):
+    """Pack a utils.types.ImuIntrinsics into the 6-vector accel parameter."""
+    T, s = np.asarray(intr.misalignment), np.asarray(intr.scale)
+    return jnp.asarray([-T[0, 1], T[0, 2], -T[1, 2], s[0], s[1], s[2]], dtype)
+
+
+def gyro_intr_from(intr, dtype=jnp.float64):
+    """Pack a utils.types.ImuIntrinsics into the 9-vector gyro parameter."""
+    T, s = np.asarray(intr.misalignment), np.asarray(intr.scale)
+    return jnp.asarray([-T[0, 1], T[0, 2], -T[1, 2], T[1, 0], -T[2, 0], T[2, 1],
+                        s[0], s[1], s[2]], dtype)
 
 
 def flags_to_fixed(flags: frozenset) -> list:
@@ -118,14 +167,18 @@ def flags_to_fixed(flags: frozenset) -> list:
         fixed += ["q_so3", "t_r3"]
     if T_I_C not in flags:
         fixed += ["q_i_c", "t_i_c"]
-    if IMU_BIASES not in flags:
-        fixed += ["bias_a", "bias_g"]
+    if IMU_BIASES not in flags and ACC_BIAS not in flags:
+        fixed += ["bias_a"]
+    if IMU_BIASES not in flags and GYR_BIAS not in flags:
+        fixed += ["bias_g"]
     if GRAVITY_DIR not in flags:
         fixed += ["gravity"]
     if CAM_LINE_DELAY not in flags:
         fixed += ["line_delay"]
     if TIME_OFFSET not in flags:
         fixed += ["time_offset"]
+    if IMU_INTRINSICS not in flags:
+        fixed += ["accl_intr", "gyro_intr"]
     return fixed
 
 
@@ -147,30 +200,33 @@ def _in_range(p: SplineProblem, t):
     return (t >= p.t0) & (t < hi_s) & (t < hi_r)
 
 
-def accel_residual_local(delta, qwin, rwin, bwin, gravity, meas, u_s, u_r, u_b, p: SplineProblem):
-    """Accelerometer residual: R(t)^T (a_w + g) - (raw - bias_a(t))
+def accel_residual_local(delta, qwin, rwin, bwin, gravity, intr, meas,
+                         u_s, u_r, u_b, p: SplineProblem):
+    """Accelerometer residual: R(t)^T (a_w + g) - T K (raw - bias_a(t))
     (AccelerationCostFunctorSplit, ceres_calib_split_residuals.h:23-104).
-    delta layout: [18 so3 | 18 r3 | 9 bias | 3 gravity] = 48."""
+    delta layout: [18 so3 | 18 r3 | 9 bias | 3 gravity | 6 intr] = 54."""
     qw = lie.quat_boxplus(qwin, delta[0:18].reshape(6, 3))
     rw = rwin + delta[18:36].reshape(6, 3)
     bw = bwin + delta[36:45].reshape(3, 3)
     g = gravity + delta[45:48]
+    M = accl_intr_matrix(intr + delta[48:54])
     q = spline.so3_eval(qw, u_s, ORDER)
     a_w = spline.r3_eval(rw, u_r, p.dt_r3, 2, ORDER)
     bias = spline.r3_eval(bw, u_b, p.dt_bias, 0, BIAS_ORDER)
-    r = lie.quat_rotate(lie.quat_conjugate(q), a_w + g) - (meas - bias)
+    r = lie.quat_rotate(lie.quat_conjugate(q), a_w + g) - M @ (meas - bias)
     return p.w_accel * r
 
 
-def gyro_residual_local(delta, qwin, bwin, meas, u_s, u_b, p: SplineProblem):
-    """Gyroscope residual: omega_body(t) - (raw - bias_g(t))
+def gyro_residual_local(delta, qwin, bwin, intr, meas, u_s, u_b, p: SplineProblem):
+    """Gyroscope residual: omega_body(t) - T K (raw - bias_g(t))
     (GyroCostFunctorSplit, ceres_calib_split_residuals.h:106-178).
-    delta layout: [18 so3 | 9 bias] = 27."""
+    delta layout: [18 so3 | 9 bias | 9 intr] = 36."""
     qw = lie.quat_boxplus(qwin, delta[0:18].reshape(6, 3))
     bw = bwin + delta[18:27].reshape(3, 3)
+    M = gyro_intr_matrix(intr + delta[27:36])
     _, omega = spline.so3_vel(qw, u_s, p.dt_so3, ORDER)
     bias = spline.r3_eval(bw, u_b, p.dt_bias, 0, BIAS_ORDER)
-    return p.w_gyro * (omega - (meas - bias))
+    return p.w_gyro * (omega - M @ (meas - bias))
 
 
 def reproj_residual_local(delta, qwin, rwin, q_ic, t_ic, ld, toff, t_frame, row, uv, pt,
@@ -221,9 +277,10 @@ def _accel_eval(params, p: SplineProblem, with_jac: bool):
     w = (p.accel_valid & _in_range(p, p.accel_t)).astype(p.accel_meas.dtype)
 
     def res(d, qw, rw, bw, m, us, ur, ub):
-        return accel_residual_local(d, qw, rw, bw, params["gravity"], m, us, ur, ub, p)
+        return accel_residual_local(d, qw, rw, bw, params["gravity"],
+                                    params["accl_intr"], m, us, ur, ub, p)
 
-    d0 = jnp.zeros((48,), p.accel_meas.dtype)
+    d0 = jnp.zeros((54,), p.accel_meas.dtype)
     r = jax.vmap(lambda qw, rw, bw, m, us, ur, ub: res(d0, qw, rw, bw, m, us, ur, ub))(
         qwin, rwin, bwin, p.accel_meas, u_s, u_r, u_b) * w[:, None]
     J = None
@@ -240,6 +297,7 @@ def _accel_r_and_idx(params, p: SplineProblem, layout, with_jac: bool):
         _win_idx(layout, "t_r3", i_r, ORDER),
         _win_idx(layout, "bias_a", i_b, BIAS_ORDER),
         _fixed_idx(layout, "gravity", i_s.shape[0]),
+        _fixed_idx(layout, "accl_intr", i_s.shape[0]),
     ], axis=1)
     return r, J, idx
 
@@ -264,9 +322,9 @@ def _gyro_eval(params, p: SplineProblem, with_jac: bool):
     w = (p.gyro_valid & _in_range(p, p.gyro_t)).astype(p.gyro_meas.dtype)
 
     def res(d, qw, bw, m, us, ub):
-        return gyro_residual_local(d, qw, bw, m, us, ub, p)
+        return gyro_residual_local(d, qw, bw, params["gyro_intr"], m, us, ub, p)
 
-    d0 = jnp.zeros((27,), p.gyro_meas.dtype)
+    d0 = jnp.zeros((36,), p.gyro_meas.dtype)
     r = jax.vmap(lambda qw, bw, m, us, ub: res(d0, qw, bw, m, us, ub))(
         qwin, bwin, p.gyro_meas, u_s, u_b) * w[:, None]
     J = None
@@ -281,6 +339,7 @@ def _gyro_r_and_idx(params, p: SplineProblem, layout, with_jac: bool):
     idx = jnp.concatenate([
         _win_idx(layout, "q_so3", i_s, ORDER),
         _win_idx(layout, "bias_g", i_b, BIAS_ORDER),
+        _fixed_idx(layout, "gyro_intr", i_s.shape[0]),
     ], axis=1)
     return r, J, idx
 
@@ -507,36 +566,48 @@ def make_solver_functions(p: SplineProblem, layout, reproj_chunk: int | None = N
     return linearize_fn, cost_fn
 
 
-def make_solver_functions_fast(p: SplineProblem, layout,
-                               obs_chunk: int = 16384, imu_chunk: int = 4096):
-    """(linearize_fn, cost_fn) using chunk-local dense assembly (see above).
+def plan_fast_assembly(p: SplineProblem, obs_chunk: int = 16384,
+                       imu_chunk: int = 4096):
+    """Host-side planning for the chunk-local assembly: (plans, arrs).
 
-    Produces the same (H, g, cost) as :func:`make_solver_functions` (tested
-    to numerical precision) but runs ~50x faster inside the LM loop on TPU:
-    the only scatters left are small per-chunk Jacobian densifications; all
-    accumulation is MXU matmuls + dense block updates.
+    plans = (obs_plan, acc_plan, gyr_plan); arrs = dict of chunked
+    (K, chunk, ...) measurement arrays. Separated from the traced body so
+    the sharded solver (parallel/sharded.py) can plan per device shard and
+    feed device-local bases/arrays through ``shard_map``.
     """
-    dtype = p.obs_uv.dtype
-    nb3 = 3 * p.n_bias
-
     obs_plan = _plan_chunks(np.asarray(p.obs_t), p, obs_chunk, use_r3=True)
     acc_plan = _plan_chunks(np.asarray(p.accel_t), p, imu_chunk, use_r3=True)
     gyr_plan = _plan_chunks(np.asarray(p.gyro_t), p, imu_chunk, use_r3=False)
 
-    obs_arrs = _chunk_arrays(
+    arrs = {}
+    arrs.update(_chunk_arrays(
         dict(obs_t=p.obs_t, obs_row=p.obs_row, obs_uv=p.obs_uv, obs_pt=p.obs_pt,
-             obs_valid=p.obs_valid), obs_plan.chunk, {"obs_valid": False})
-    acc_arrs = _chunk_arrays(
+             obs_valid=p.obs_valid), obs_plan.chunk, {"obs_valid": False}))
+    arrs.update(_chunk_arrays(
         dict(accel_t=p.accel_t, accel_meas=p.accel_meas, accel_valid=p.accel_valid),
-        acc_plan.chunk, {"accel_valid": False})
-    gyr_arrs = _chunk_arrays(
+        acc_plan.chunk, {"accel_valid": False}))
+    arrs.update(_chunk_arrays(
         dict(gyro_t=p.gyro_t, gyro_meas=p.gyro_meas, gyro_valid=p.gyro_valid),
-        gyr_plan.chunk, {"gyro_valid": False})
+        gyr_plan.chunk, {"gyro_valid": False}))
+    return (obs_plan, acc_plan, gyr_plan), arrs
+
+
+def make_fast_linearizer(p: SplineProblem, layout, plans):
+    """Traced chunk-local linearizer: ``lin(params, arrs, bases) -> (H, g, cost)``.
+
+    ``arrs`` is the chunked-array dict from :func:`plan_fast_assembly` (or a
+    device-local shard of it); ``bases`` is a dict with keys obs_s/obs_r/
+    acc_s/acc_r/gyr_s giving the per-chunk first-knot indices (static plan
+    values by default, traced device-local arrays under shard_map).
+    """
+    obs_plan, acc_plan, gyr_plan = plans
+    dtype = p.obs_uv.dtype
+    nb3 = 3 * p.n_bias
 
     # Local tangent layout sizes.
     L_obs = 3 * obs_plan.w_s + 3 * obs_plan.w_r + 8
-    L_acc = 3 * acc_plan.w_s + 3 * acc_plan.w_r + nb3 + 3
-    L_gyr = 3 * gyr_plan.w_s + nb3
+    L_acc = 3 * acc_plan.w_s + 3 * acc_plan.w_r + nb3 + 3 + 6
+    L_gyr = 3 * gyr_plan.w_s + nb3 + 9
 
     off = layout.offsets
 
@@ -576,17 +647,20 @@ def make_solver_functions_fast(p: SplineProblem, layout,
                            3 * acc_plan.w_s),
             _local_win_idx(i_b.astype(jnp.int32), BIAS_ORDER, 3,
                            3 * acc_plan.w_s + 3 * acc_plan.w_r),
-            jnp.broadcast_to(jnp.arange(3, dtype=jnp.int32)
+            jnp.broadcast_to(jnp.arange(9, dtype=jnp.int32)
                              + 3 * acc_plan.w_s + 3 * acc_plan.w_r + nb3,
-                             (i_s.shape[0], 3)),
+                             (i_s.shape[0], 9)),
         ], axis=1)
         Jd, rf = _densify(r, J, li, L_acc)
         H_l = Jd.T @ Jd
         g_l = Jd.T @ rf
+        # gravity (3) + accl_intr (6) are contiguous locally but not globally.
         regions = [(0, 3 * acc_plan.w_s, 3 * s_base),
                    (3 * acc_plan.w_s, 3 * acc_plan.w_r, off["t_r3"] + 3 * r_base),
                    (3 * acc_plan.w_s + 3 * acc_plan.w_r, nb3, off["bias_a"]),
-                   (3 * acc_plan.w_s + 3 * acc_plan.w_r + nb3, 3, off["gravity"])]
+                   (3 * acc_plan.w_s + 3 * acc_plan.w_r + nb3, 3, off["gravity"]),
+                   (3 * acc_plan.w_s + 3 * acc_plan.w_r + nb3 + 3, 6,
+                    off["accl_intr"])]
         return H_l, g_l, 0.5 * jnp.sum(r * r), regions
 
     def _gyro_chunk(params, ch, s_base):
@@ -595,15 +669,18 @@ def make_solver_functions_fast(p: SplineProblem, layout,
         li = jnp.concatenate([
             _local_win_idx(_clip_local(i_s, s_base, gyr_plan.w_s), ORDER, 3, 0),
             _local_win_idx(i_b.astype(jnp.int32), BIAS_ORDER, 3, 3 * gyr_plan.w_s),
+            jnp.broadcast_to(jnp.arange(9, dtype=jnp.int32) + 3 * gyr_plan.w_s + nb3,
+                             (i_s.shape[0], 9)),
         ], axis=1)
         Jd, rf = _densify(r, J, li, L_gyr)
         H_l = Jd.T @ Jd
         g_l = Jd.T @ rf
         regions = [(0, 3 * gyr_plan.w_s, 3 * s_base),
-                   (3 * gyr_plan.w_s, nb3, off["bias_g"])]
+                   (3 * gyr_plan.w_s, nb3, off["bias_g"]),
+                   (3 * gyr_plan.w_s + nb3, 9, off["gyro_intr"])]
         return H_l, g_l, 0.5 * jnp.sum(r * r), regions
 
-    def linearize_fn(params):
+    def linearize(params, arrs, bases):
         D = layout.tangent_dim
         H = jnp.zeros((D, D), dtype)
         g = jnp.zeros((D,), dtype)
@@ -616,8 +693,9 @@ def make_solver_functions_fast(p: SplineProblem, layout,
             Hc, gc = _block_accumulate(Hc, gc, H_l, g_l, regions)
             return (Hc, gc, cc + c), None
 
+        acc_arrs = {k: arrs[k] for k in ("accel_t", "accel_meas", "accel_valid")}
         (H, g, cost), _ = jax.lax.scan(
-            acc_body, (H, g, cost), (acc_arrs, acc_plan.s_base, acc_plan.r_base))
+            acc_body, (H, g, cost), (acc_arrs, bases["acc_s"], bases["acc_r"]))
 
         def gyr_body(carry, x):
             Hc, gc, cc = carry
@@ -626,8 +704,9 @@ def make_solver_functions_fast(p: SplineProblem, layout,
             Hc, gc = _block_accumulate(Hc, gc, H_l, g_l, regions)
             return (Hc, gc, cc + c), None
 
+        gyr_arrs = {k: arrs[k] for k in ("gyro_t", "gyro_meas", "gyro_valid")}
         (H, g, cost), _ = jax.lax.scan(
-            gyr_body, (H, g, cost), (gyr_arrs, gyr_plan.s_base))
+            gyr_body, (H, g, cost), (gyr_arrs, bases["gyr_s"]))
 
         def obs_body(carry, x):
             Hc, gc, cc = carry
@@ -636,9 +715,37 @@ def make_solver_functions_fast(p: SplineProblem, layout,
             Hc, gc = _block_accumulate(Hc, gc, H_l, g_l, regions)
             return (Hc, gc, cc + c), None
 
+        obs_arrs = {k: arrs[k] for k in
+                    ("obs_t", "obs_row", "obs_uv", "obs_pt", "obs_valid")}
         (H, g, cost), _ = jax.lax.scan(
-            obs_body, (H, g, cost), (obs_arrs, obs_plan.s_base, obs_plan.r_base))
+            obs_body, (H, g, cost), (obs_arrs, bases["obs_s"], bases["obs_r"]))
         return H, g, cost
+
+    return linearize
+
+
+def plan_bases(plans) -> dict:
+    obs_plan, acc_plan, gyr_plan = plans
+    return dict(obs_s=obs_plan.s_base, obs_r=obs_plan.r_base,
+                acc_s=acc_plan.s_base, acc_r=acc_plan.r_base,
+                gyr_s=gyr_plan.s_base)
+
+
+def make_solver_functions_fast(p: SplineProblem, layout,
+                               obs_chunk: int = 16384, imu_chunk: int = 4096):
+    """(linearize_fn, cost_fn) using chunk-local dense assembly (see above).
+
+    Produces the same (H, g, cost) as :func:`make_solver_functions` (tested
+    to numerical precision) but runs ~50x faster inside the LM loop on TPU:
+    the only scatters left are small per-chunk Jacobian densifications; all
+    accumulation is MXU matmuls + dense block updates.
+    """
+    plans, arrs = plan_fast_assembly(p, obs_chunk, imu_chunk)
+    lin = make_fast_linearizer(p, layout, plans)
+    bases = plan_bases(plans)
+
+    def linearize_fn(params):
+        return lin(params, arrs, bases)
 
     def cost_fn(params):
         ra, _, _ = _accel_eval(params, p, with_jac=False)
@@ -707,6 +814,8 @@ def init_spline_params(poses: PoseDataset, q_i_c0, t_i_c0, p: SplineProblem,
         "t_i_c": jnp.asarray(t_i_c0, dtype),
         "line_delay": jnp.zeros((1,), dtype),
         "time_offset": jnp.zeros((1,), dtype),
+        "accl_intr": identity_accl_intr(dtype),
+        "gyro_intr": identity_gyro_intr(dtype),
     }
 
 
@@ -755,14 +864,42 @@ def optimize(p: SplineProblem, params0: dict, flags: frozenset = DEFAULT_FLAGS,
     method "fast" uses chunk-local dense assembly; "scatter" the direct
     block scatter-add (reference implementation for equivalence tests).
     """
+    cfg = config or lm.LMConfig(max_iters=max_iters, ftol=1e-4)  # ftol impl.h:267
+    return optimize_stages(p, params0, [(flags, cfg.max_iters)], config=cfg,
+                           method=method, reproj_chunk=reproj_chunk)[-1]
+
+
+def optimize_stages(p: SplineProblem, params0: dict, stages,
+                    config: lm.LMConfig | None = None, method: str = "fast",
+                    reproj_chunk: int | None = None) -> list:
+    """Run a SCHEDULE of LM stages with ONE compiled solver.
+
+    ``stages``: list of (flags, max_iters). The free-parameter mask and the
+    iteration cap are traced arguments of a single jitted LM, so multi-stage
+    schedules (e.g. full batch then +CAM_LINE_DELAY, the reference's
+    continuous_time...cc:215-221) compile exactly once. Returns the list of
+    LMResult, one per stage; each stage starts from the previous solution.
+    """
     layout = build_layout(p)
     if method == "fast":
         lin, cost = make_solver_functions_fast(p, layout)
     else:
         lin, cost = make_solver_functions(p, layout, reproj_chunk=reproj_chunk)
-    mask = layout.free_mask(fixed=flags_to_fixed(flags))
-    cfg = config or lm.LMConfig(max_iters=max_iters, ftol=1e-4)  # ftol impl.h:267
-    return lm.lm_optimize(lin, cost, layout.retract, params0, mask, cfg)
+    base_cfg = config or lm.LMConfig(ftol=1e-4)
+
+    @jax.jit
+    def run(prm, mask, iters):
+        cfg = base_cfg._replace(max_iters=iters)
+        return lm.lm_optimize(lin, cost, layout.retract, prm, mask, cfg)
+
+    results = []
+    params = params0
+    for flags, iters in stages:
+        mask = layout.free_mask(fixed=flags_to_fixed(frozenset(flags)))
+        res = run(params, mask, jnp.asarray(iters, jnp.int32))
+        params = res.params
+        results.append(res)
+    return results
 
 
 # ---------------------------------------------------------------------------

@@ -30,7 +30,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from openimucameracalibrator_tpu.core import spline_estimator as se
-from openimucameracalibrator_tpu.solver import lm
+from openimucameracalibrator_tpu.solver import lm, robust
 
 # SplineProblem fields sharded along their leading (measurement) axis.
 _SHARDED_FIELDS = ("accel_t", "accel_meas", "accel_valid",
@@ -81,6 +81,125 @@ def split_problem(p: se.SplineProblem):
     return sharded, repl, static
 
 
+def _pad_family(arrs: Dict, times_key: str, valid_key: str, n: int, chunk: int):
+    """numpy: pad a measurement family to n*k*chunk and reshape to
+    (n, k, chunk, ...). Pad times repeat the last sample (keeps the padded
+    chunk's knot window local); pad entries carry valid=False."""
+    t = np.asarray(arrs[times_key])
+    m = t.shape[0]
+    m_loc = -(-m // n)
+    k = max(1, -(-m_loc // chunk))
+    m_pad = n * k * chunk
+    out = {}
+    for name, x in arrs.items():
+        x = np.asarray(x)
+        pad = m_pad - m
+        if name == times_key:
+            fill = x[-1] if m else 0.0
+            xp = np.concatenate([x, np.full((pad,), fill, x.dtype)])
+        elif name == valid_key:
+            xp = np.concatenate([x, np.zeros((pad,), bool)])
+        else:
+            xp = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+        out[name] = xp.reshape((n, k, chunk) + x.shape[1:])
+    return out, k
+
+
+def _plan_family(times_3d: np.ndarray, p: se.SplineProblem, chunk: int,
+                 use_r3: bool):
+    """Per-device chunk plans with a SHARED static window size (max over
+    devices), so the shard_map body compiles to one program. Shrinking a
+    base to fit the larger window never loses coverage (base only moves
+    down while the window grows)."""
+    n = times_3d.shape[0]
+    plans = [se._plan_chunks(times_3d[d].reshape(-1), p, chunk, use_r3)
+             for d in range(n)]
+    w_s = max(pl.w_s for pl in plans)
+    w_r = max(pl.w_r for pl in plans)
+    s_base = np.stack([np.clip(np.asarray(pl.s_base), 0, p.n_so3 - w_s)
+                       for pl in plans])
+    r_base = np.stack([np.clip(np.asarray(pl.r_base), 0,
+                               max(p.n_r3 - max(w_r, 1), 0))
+                       for pl in plans])
+    return w_s, w_r, s_base.astype(np.int32), r_base.astype(np.int32)
+
+
+def make_sharded_fast_solver_functions(p: se.SplineProblem, mesh: Mesh,
+                                       axis: str = "data",
+                                       obs_chunk: int = 8192,
+                                       imu_chunk: int = 2048):
+    """(linearize_fn, cost_fn, layout) — chunk-local dense assembly per
+    device shard + one psum of (H, g, cost) over the mesh.
+
+    Same numerical contract as :func:`make_sharded_solver_functions` but
+    using the MXU-friendly fast assembly (se.make_fast_linearizer) on each
+    device: measurements are split into contiguous time shards, chunk plans
+    are computed per shard on the host with a shared static window size,
+    and the per-chunk bases ride through shard_map as device-local arrays.
+    """
+    n = mesh.shape[axis]
+    layout = se.build_layout(p)
+
+    fam_obs, k_obs = _pad_family(
+        dict(obs_t=p.obs_t, obs_row=p.obs_row, obs_uv=p.obs_uv,
+             obs_pt=p.obs_pt, obs_valid=p.obs_valid),
+        "obs_t", "obs_valid", n, obs_chunk)
+    fam_acc, k_acc = _pad_family(
+        dict(accel_t=p.accel_t, accel_meas=p.accel_meas,
+             accel_valid=p.accel_valid), "accel_t", "accel_valid", n, imu_chunk)
+    fam_gyr, k_gyr = _pad_family(
+        dict(gyro_t=p.gyro_t, gyro_meas=p.gyro_meas, gyro_valid=p.gyro_valid),
+        "gyro_t", "gyro_valid", n, imu_chunk)
+
+    ws_o, wr_o, sb_o, rb_o = _plan_family(fam_obs["obs_t"], p, obs_chunk, True)
+    ws_a, wr_a, sb_a, rb_a = _plan_family(fam_acc["accel_t"], p, imu_chunk, True)
+    ws_g, _, sb_g, _ = _plan_family(fam_gyr["gyro_t"], p, imu_chunk, False)
+
+    dummy = jnp.zeros((1,), jnp.int32)
+    plans = (se.ChunkPlan(k_obs, obs_chunk, ws_o, wr_o, dummy, dummy),
+             se.ChunkPlan(k_acc, imu_chunk, ws_a, wr_a, dummy, dummy),
+             se.ChunkPlan(k_gyr, imu_chunk, ws_g, 0, dummy, dummy))
+    lin_local = se.make_fast_linearizer(p, layout, plans)
+
+    sh = NamedSharding(mesh, P(axis))
+    arrs = {f: jax.device_put(jnp.asarray(v), sh)
+            for fam in (fam_obs, fam_acc, fam_gyr) for f, v in fam.items()}
+    bases = {f: jax.device_put(jnp.asarray(v), sh)
+             for f, v in dict(obs_s=sb_o, obs_r=rb_o, acc_s=sb_a, acc_r=rb_a,
+                              gyr_s=sb_g).items()}
+    arr_specs = {f: P(axis) for f in arrs}
+    base_specs = {f: P(axis) for f in bases}
+
+    # check_vma=False: the scan carry inside the linearizer starts as a
+    # replicated zeros and becomes device-varying on the first accumulate;
+    # the explicit psum below restores replication.
+    @functools.partial(jax.shard_map, mesh=mesh,
+                       in_specs=(P(), arr_specs, base_specs),
+                       out_specs=(P(), P(), P()), check_vma=False)
+    def _linearize(params, arrs_l, bases_l):
+        arrs_l = {f: v[0] for f, v in arrs_l.items()}
+        bases_l = {f: v[0] for f, v in bases_l.items()}
+        H, g, c = lin_local(params, arrs_l, bases_l)
+        return jax.lax.psum((H, g, c), axis)
+
+    # Cost: reuse the chunked measurement arrays (residuals only, no assembly).
+    @functools.partial(jax.shard_map, mesh=mesh,
+                       in_specs=(P(), arr_specs), out_specs=P())
+    def _cost(params, arrs_l):
+        arrs_l = {f: v.reshape((-1,) + v.shape[3:]) for f, v in arrs_l.items()}
+        p_local = p._replace(**arrs_l)
+        ra, _, _ = se._accel_eval(params, p_local, with_jac=False)
+        rg, _, _ = se._gyro_eval(params, p_local, with_jac=False)
+        rp, _, _ = se._reproj_eval(params, p_local, with_jac=False)
+        c = 0.5 * jnp.sum(ra * ra) + 0.5 * jnp.sum(rg * rg)
+        c = c + robust.huber_cost(rp.reshape(-1), se.HUBER_PX, group_size=2)
+        return jax.lax.psum(c, axis)
+
+    linearize_fn = lambda params: _linearize(params, arrs, bases)
+    cost_fn = lambda params: _cost(params, arrs)
+    return linearize_fn, cost_fn, layout
+
+
 def make_sharded_solver_functions(p: se.SplineProblem, mesh: Mesh,
                                   axis: str = "data"):
     """(linearize_fn, cost_fn) with measurement shards on the mesh.
@@ -129,9 +248,19 @@ def make_sharded_solver_functions(p: se.SplineProblem, mesh: Mesh,
 def optimize_sharded(p: se.SplineProblem, params0: dict, mesh: Mesh,
                      flags: frozenset = se.DEFAULT_FLAGS,
                      max_iters: int = 50,
-                     config: lm.LMConfig | None = None) -> lm.LMResult:
-    """LM with mesh-sharded linearization (drop-in for se.optimize)."""
-    lin, cost, layout = make_sharded_solver_functions(p, mesh)
+                     config: lm.LMConfig | None = None,
+                     method: str = "fast",
+                     obs_chunk: int = 8192, imu_chunk: int = 2048) -> lm.LMResult:
+    """LM with mesh-sharded linearization (drop-in for se.optimize).
+
+    method "fast" = chunk-local dense assembly per shard (production path);
+    "scatter" = direct block scatter-add (equivalence-test reference).
+    """
+    if method == "fast":
+        lin, cost, layout = make_sharded_fast_solver_functions(
+            p, mesh, obs_chunk=obs_chunk, imu_chunk=imu_chunk)
+    else:
+        lin, cost, layout = make_sharded_solver_functions(p, mesh)
     mask = layout.free_mask(fixed=se.flags_to_fixed(flags))
     cfg = config or lm.LMConfig(max_iters=max_iters, ftol=1e-4)
     run = jax.jit(lambda prm: lm.lm_optimize(lin, cost, layout.retract, prm, mask, cfg))
