@@ -11,7 +11,10 @@ import os
 
 # Force CPU: the outer environment pins JAX to a TPU tunnel (sitecustomize
 # registers an "axon" PJRT plugin at interpreter start), which tests must
-# never touch. jax is already imported by then, so override via jax.config.
+# never touch. Set the env var too, in case jax has not been imported yet —
+# backend *initialization* (not import) is what contacts the tunnel, and a
+# config update alone does not always prevent plugin discovery.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
