@@ -58,11 +58,7 @@ def _native_dictionary(opts: BoardExtractorOptions) -> adict_mod.ArucoDictionary
     if opts.aruco_dict.upper() in ("DICT_ARUCO_ORIGINAL", "ARUCO_ORIGINAL"):
         return adict_mod.aruco_original_dictionary()
     if opts.aruco_dict.upper() in ("DICT_APRILTAG_36H11", "TAG36H11"):
-        # tag36h11's code table is data, not algorithm; without it installed
-        # we use a seeded high-distance dictionary (self-consistent for
-        # boards rendered by this framework; supply real codes via
-        # detect.aruco_dict.dictionary_from_codes for cross-tool boards).
-        return adict_mod.random_dictionary(36, marker_size=6, seed=11)
+        return adict_mod.tag36h11_dictionary()
     raise ValueError(f"unknown dictionary {opts.aruco_dict!r} for native backend")
 
 
@@ -78,7 +74,10 @@ def make_native_detector(opts: BoardExtractorOptions):
         return lambda g: checker_mod.detect_checkerboard(
             np.asarray(g, np.float32), opts.squares_x, opts.squares_y)
 
-    dictionary = _native_dictionary(opts)
+    # Kalibr-style aprilgrids always use the tag36h11 family
+    # (board_extractor.cc:226-232, resource/kalibr_apriltag.yaml).
+    dictionary = (opts.dictionary if opts.dictionary is not None
+                  else adict_mod.tag36h11_dictionary())
 
     def detect_april(gray):
         mids, mcorners = quads_mod.detect_markers(np.asarray(gray, np.float32),

@@ -85,6 +85,19 @@ def aruco_original_dictionary(num_markers: int = 1024) -> ArucoDictionary:
     return _CACHE[key]
 
 
+def tag36h11_dictionary() -> ArucoDictionary:
+    """The real AprilTag 36h11 family (587 markers, min Hamming 11) from the
+    embedded public code table — detects genuine Kalibr aprilgrid targets
+    (reference third_party/apriltag/apriltag.h:10-25)."""
+    key = ("tag36h11",)
+    if key not in _CACHE:
+        from openimucameracalibrator_tpu.detect import tag36h11_data as t36
+        _CACHE[key] = dictionary_from_codes(
+            "DICT_APRILTAG_36H11", t36.codes(), t36.MARKER_SIZE,
+            max_correction_bits=(t36.MIN_HAMMING - 1) // 2)
+    return _CACHE[key]
+
+
 def random_dictionary(num_markers: int, marker_size: int = 6, seed: int = 1,
                       min_hamming: int | None = None) -> ArucoDictionary:
     """Seeded random dictionary with a minimum pairwise Hamming distance over

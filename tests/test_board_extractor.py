@@ -177,3 +177,54 @@ def test_render_board_image_app_path(tmp_path):
     board_extractor.save_image(str(out), img)
     back = board_extractor.load_gray_image(str(out))
     np.testing.assert_array_equal(back, img)
+
+
+def test_tag36h11_matches_opencv_bits():
+    """Embedded 36h11 table is bit-exact vs cv2.aruco.DICT_APRILTAG_36h11."""
+    cv2 = pytest.importorskip("cv2")
+    d = aruco_dict.tag36h11_dictionary()
+    assert d.num_markers == 587 and d.marker_size == 6
+    ref = cv2.aruco.getPredefinedDictionary(cv2.aruco.DICT_APRILTAG_36h11)
+    img = np.zeros((8, 8), np.uint8)
+    for k in [0, 1, 7, 42, 300, 586]:
+        cv2.aruco.generateImageMarker(ref, k, 8, img, 1)
+        inner = (img[1:7, 1:7] > 127).astype(np.uint8)
+        np.testing.assert_array_equal(d.bits[k], inner)
+
+
+def test_tag36h11_native_detects_opencv_rendered_grid():
+    """Cross-tool parity: native detector reads a cv2-rendered aprilgrid."""
+    cv2 = pytest.importorskip("cv2")
+    ref = cv2.aruco.getPredefinedDictionary(cv2.aruco.DICT_APRILTAG_36h11)
+    tag_px, gap, margin = 80, 24, 30
+    tags_x, tags_y = 3, 2
+    pitch = tag_px + gap
+    H = tags_y * pitch - gap + 2 * margin
+    W = tags_x * pitch - gap + 2 * margin
+    img = np.full((H, W), 255, np.uint8)
+    m = np.zeros((tag_px, tag_px), np.uint8)
+    for ty in range(tags_y):
+        for tx in range(tags_x):
+            t = ty * tags_x + tx
+            cv2.aruco.generateImageMarker(ref, t, tag_px, m, 1)
+            y0 = margin + (tags_y - 1 - ty) * pitch
+            x0 = margin + tx * pitch
+            img[y0:y0 + tag_px, x0:x0 + tag_px] = m
+    opts = board_extractor.BoardExtractorOptions(
+        board_type="apriltag", squares_x=tags_x, squares_y=tags_y,
+        backend="native")
+    detect = board_extractor.make_native_detector(opts)
+    ids, pts = detect(img.astype(np.float32))
+    assert len(ids) == tags_x * tags_y * 4
+
+
+def test_tag36h11_opencv_detects_native_rendered_grid():
+    """And the reverse: cv2 detector reads our natively rendered grid."""
+    cv2 = pytest.importorskip("cv2")
+    d = aruco_dict.tag36h11_dictionary()
+    img = render.render_aprilgrid(d, 3, 2, tag_px=80, spacing_ratio=0.3,
+                                  margin_px=30)
+    adict = cv2.aruco.getPredefinedDictionary(cv2.aruco.DICT_APRILTAG_36h11)
+    det = cv2.aruco.ArucoDetector(adict, cv2.aruco.DetectorParameters())
+    corners, ids, _ = det.detectMarkers(img)
+    assert ids is not None and sorted(ids.reshape(-1).tolist()) == [0, 1, 2, 3, 4, 5]
