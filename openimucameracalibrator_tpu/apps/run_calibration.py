@@ -32,6 +32,7 @@ extract_board_to_json.cc:60-64 skip-if-exists behavior).
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import os
 import time
@@ -154,7 +155,7 @@ def run(args) -> dict:
     # (GPMF video track / CORI t0, estimate_imu_to_camera_rotation.cc:85-99).
     if tel.img_times is not None and len(tel.img_times) >= len(corners_imucam.times):
         img_t = np.asarray(tel.img_times[:len(corners_imucam.times)], np.float64)
-        corners_imucam = corners_imucam._replace(times=img_t)
+        corners_imucam = dataclasses.replace(corners_imucam, times=img_t)
         print(f"   frame times anchored to telemetry clock (t0={img_t[0]:.4f}s)")
 
     stage("1. intrinsic calibration")
@@ -172,9 +173,14 @@ def run(args) -> dict:
     poses = pose_estimator.estimate_poses(corners_imucam, calib)
     print(f"   {int(poses.valid.sum())}/{len(poses.times)} poses")
     if args.optimize_board_points:
-        poses, pt_cov = pose_estimator.optimize_board_points(corners_imucam, calib, poses)
+        poses, pt_info = pose_estimator.optimize_board_points(corners_imucam, calib, poses)
+        # The batch stage sees the refined board geometry (the reference
+        # rebuilds its tracks from the optimized board points,
+        # continuous_time_imu_to_camera_calibration.cc:109-161).
+        corners_imucam = dataclasses.replace(
+            corners_imucam, board_points=np.asarray(poses.board_points))
     else:
-        pt_cov = None
+        pt_info = None
 
     stage("6. spline error weighting")
     sew = sew_mod.compute_sew(tel.imu, corners_imucam.fps or 30.0)
@@ -193,7 +199,12 @@ def run(args) -> dict:
         rolling_shutter=not args.global_shutter,
         accel_bias0=accel_bias, gyro_bias0=gyro_bias,
         accl_intrinsics=imu_intr[0] if imu_intr else None,
-        gyro_intrinsics=imu_intr[1] if imu_intr else None)
+        gyro_intrinsics=imu_intr[1] if imu_intr else None,
+        # POINTS block + feature-covariance whitening seeded by the
+        # empirical covariances of stage 5 (pose_estimator.cc:193-224).
+        optimize_board_points=args.optimize_board_points,
+        board_point_cov=pt_info["point_cov"] if pt_info else None,
+        reproj_cov=pt_info["reproj_cov"] if pt_info else None)
     if ws:
         io.save_imu_camera_result(result, os.path.join(ws, "imu_cam_result.json"))
 

@@ -37,6 +37,7 @@ from openimucameracalibrator_tpu.models import cameras
 from openimucameracalibrator_tpu.ops import lie, pnp
 from openimucameracalibrator_tpu.solver import blocks, lm, robust
 from openimucameracalibrator_tpu.utils.types import CameraCalibration, CornerDataset
+from openimucameracalibrator_tpu.utils import precision
 
 HUBER_PX = 1.345  # camera_calibrator.cc:140-144
 
@@ -52,7 +53,7 @@ class CameraCalibratorOptions:
     # Optional stage 4: refine board points against an imperfect target
     # (camera_calibrator.cc:208-216 "optimize_board_points").
     optimize_board_points: bool = False
-    dtype: type = jnp.float64
+    dtype: type = None
 
 
 def _build_layout(num_views: int, num_cam_params: int, num_points: int):
@@ -114,8 +115,9 @@ def mean_reproj_error(params, obs, valid, model_name: str, view_w):
     return jnp.sum(err) / jnp.maximum(jnp.sum(good), 1)
 
 
-def initialize_views(dataset: CornerDataset, dtype=jnp.float64):
+def initialize_views(dataset: CornerDataset, dtype=None):
     """Batched homography init: shared focal + per-view camera-from-world pose."""
+    dtype = precision.resolve(dtype)
     w, h = dataset.image_size
     cc = jnp.array([w / 2.0, h / 2.0], dtype=dtype)
     obs = jnp.asarray(dataset.points2d, dtype)
@@ -150,7 +152,7 @@ def calibrate_camera(dataset: CornerDataset, model_name: str,
     """Full intrinsic calibration. Returns (CameraCalibration, details dict)."""
     opts = options or CameraCalibratorOptions()
     model = cameras.get_model(model_name)
-    dt = opts.dtype
+    dt = precision.resolve(opts.dtype)
     w, h = dataset.image_size
 
     f0, q_cw, t_cw, enough = initialize_views(dataset, dt)

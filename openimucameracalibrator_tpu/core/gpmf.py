@@ -15,7 +15,8 @@ import ctypes
 import numpy as np
 
 from openimucameracalibrator_tpu.utils.native import load_library
-from openimucameracalibrator_tpu.utils.types import CameraTelemetry, ImuData
+from openimucameracalibrator_tpu.utils.types import (CameraTelemetry, GPSData,
+                                                     ImuData)
 
 
 def _lib():
@@ -127,9 +128,23 @@ def read_gopro_mp4(path: str, skip_seconds: float = 0.0) -> CameraTelemetry:
                 quats = cori[:, [0, 1, 3, 2]]
                 if len(tc) == len(img_t) or img_t.size == 0:
                     img_t = tc
+        gps = None
+        if "GPS5" in names:
+            # GPS5 sample: [lat deg, lon deg, alt m, speed2d m/s, speed3d m/s]
+            # (reference python/telemetry_converter.py:346-385); GPSP carries
+            # the dilution-of-precision track on the same clock.
+            tgps, g5 = f.stream("GPS5")
+            if g5.shape[1] >= 3 and len(tgps):
+                prec = None
+                if "GPSP" in names:
+                    tp, pv = f.stream("GPSP")
+                    if len(tp):
+                        prec = np.interp(tgps, tp, pv[:, 0])
+                gps = GPSData(times=tgps, llh=g5[:, :3], precision=prec,
+                              vel3d=g5[:, 4] if g5.shape[1] >= 5 else None)
         if skip_seconds > 0.0:
             keep = t >= t[0] + skip_seconds
             t, accl, gyro = t[keep], accl[keep], gyro[keep]
         return CameraTelemetry(imu=ImuData(times=t, accel=accl, gyro=gyro),
                                img_times=img_t if img_t.size else None,
-                               cam_quats=quats)
+                               cam_quats=quats, gps=gps)

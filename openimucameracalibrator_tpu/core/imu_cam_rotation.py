@@ -25,6 +25,7 @@ import numpy as np
 
 from openimucameracalibrator_tpu.ops import interpolation, lie
 from openimucameracalibrator_tpu.utils.types import ImuCameraInit, ImuData, PoseDataset
+from openimucameracalibrator_tpu.utils import precision
 
 HUBER_K = 1.345  # imu_to_camera_rotation_estimator.cc:36-37
 
@@ -112,7 +113,7 @@ def estimate_imu_to_camera_rotation(poses: PoseDataset, imu: ImuData,
     keep = ((vis_t + hi <= imu_t[-1]) & (vis_t + lo >= imu_t[0])).astype(gyro_s.dtype)
 
     def cost(td):
-        c, _, _ = _alignment_cost(jnp.asarray(td, jnp.float64), imu_t, gyro_s,
+        c, _, _ = _alignment_cost(jnp.asarray(td, precision.default_dtype()), imu_t, gyro_s,
                                   vis_t, omega_vis_s, keep)
         return float(c)
 
@@ -143,7 +144,7 @@ def estimate_imu_to_camera_rotation(poses: PoseDataset, imu: ImuData,
             d_ = a + (b - a) * invphi
             fd = cost(d_)
     td = 0.5 * (a + b)
-    _, R, bias = _alignment_cost(jnp.asarray(td, jnp.float64), imu_t, gyro_s,
+    _, R, bias = _alignment_cost(jnp.asarray(td, precision.default_dtype()), imu_t, gyro_s,
                                  vis_t, omega_vis_s, keep)
     # omega_vis = R_c_g omega_gyro => R maps gyro frame into camera frame.
     q_gyro_to_cam = lie.matrix_to_quat(jnp.asarray(R))

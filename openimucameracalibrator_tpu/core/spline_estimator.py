@@ -43,6 +43,7 @@ import numpy as np
 from openimucameracalibrator_tpu.models import cameras
 from openimucameracalibrator_tpu.ops import interpolation, lie, spline
 from openimucameracalibrator_tpu.solver import blocks, lm, robust
+from openimucameracalibrator_tpu.utils import precision
 from openimucameracalibrator_tpu.utils.types import (CameraCalibration, CornerDataset,
                                                      ImuData, PoseDataset,
                                                      SplineWeightingData)
@@ -66,6 +67,7 @@ GYR_BIAS = "gyr_bias"
 # init, which carries an O(line_delay * image_height / 2) rolling-shutter
 # bias plus pose-noise error).
 TIME_OFFSET = "time_offset"
+POINTS = "points"  # SplineOptimFlags::POINTS (spline_trajectory_estimator.h:17)
 DEFAULT_FLAGS = frozenset({SPLINE, T_I_C, IMU_BIASES, GRAVITY_DIR})
 
 
@@ -99,10 +101,25 @@ class SplineProblem(NamedTuple):
     cam_params: jnp.ndarray
     model_name: str
     rolling_shutter: bool
+    # --- board points as parameters + feature covariance (optional) ---
+    # n_points > 0 adds a "points" block to the layout (the reference's
+    # POINTS flag, spline_trajectory_estimator.h:17-27); observations then
+    # read their board point from the parameter dict via obs_pt_id.
+    n_points: int = 0
+    obs_pt_id: jnp.ndarray | None = None  # (Mo,) int32 index into points
+    # Per-observation residual whitening S (2, 2) with S^T S = cov^-1
+    # (feature-covariance whitening, ceres_calib_split_residuals.h:276-277,
+    # 395-396). None = identity.
+    obs_sqrt_info: jnp.ndarray | None = None  # (Mo, 2, 2)
+    # Gaussian prior pinning the points block (pt ~ N(prior_mean, cov)):
+    # kills the translation/rotation gauge freed by POINTS and encodes the
+    # empirical covariance of OptimizeBoardPoints (pose_estimator.cc:193-224).
+    pt_prior_mean: jnp.ndarray | None = None  # (P, 3)
+    pt_prior_sqrt_info: jnp.ndarray | None = None  # (P, 3, 3)
 
 
 def build_layout(p: SplineProblem) -> blocks.BlockLayout:
-    return blocks.BlockLayout([
+    specs = [
         blocks.BlockSpec("q_so3", (p.n_so3, 4), "quat"),
         blocks.BlockSpec("t_r3", (p.n_r3, 3)),
         blocks.BlockSpec("bias_a", (p.n_bias, 3)),
@@ -114,18 +131,22 @@ def build_layout(p: SplineProblem) -> blocks.BlockLayout:
         blocks.BlockSpec("time_offset", (1,)),
         blocks.BlockSpec("accl_intr", (6,)),
         blocks.BlockSpec("gyro_intr", (9,)),
-    ])
+    ]
+    if p.n_points > 0:
+        specs.append(blocks.BlockSpec("points", (p.n_points, 3)))
+    return blocks.BlockLayout(specs)
 
 
-def identity_accl_intr(dtype=jnp.float64):
+def identity_accl_intr(dtype=None):
     """[mis_yz, mis_zy, mis_zx, sx, sy, sz] (SetIMUIntrinsics packing,
     spline_trajectory_estimator.impl.h:1236-1248)."""
-    return jnp.asarray([0.0, 0.0, 0.0, 1.0, 1.0, 1.0], dtype)
+    return jnp.asarray([0.0, 0.0, 0.0, 1.0, 1.0, 1.0], precision.resolve(dtype))
 
 
-def identity_gyro_intr(dtype=jnp.float64):
+def identity_gyro_intr(dtype=None):
     """[mis_yz, mis_zy, mis_zx, mis_xz, mis_xy, mis_yx, sx, sy, sz]."""
-    return jnp.asarray([0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0], dtype)
+    return jnp.asarray([0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0],
+                       precision.resolve(dtype))
 
 
 def accl_intr_matrix(v):
@@ -148,13 +169,14 @@ def gyro_intr_matrix(v):
     ])
 
 
-def accl_intr_from(intr, dtype=jnp.float64):
+def accl_intr_from(intr, dtype=None):
     """Pack a utils.types.ImuIntrinsics into the 6-vector accel parameter."""
     T, s = np.asarray(intr.misalignment), np.asarray(intr.scale)
-    return jnp.asarray([-T[0, 1], T[0, 2], -T[1, 2], s[0], s[1], s[2]], dtype)
+    return jnp.asarray([-T[0, 1], T[0, 2], -T[1, 2], s[0], s[1], s[2]],
+                       precision.resolve(dtype))
 
 
-def gyro_intr_from(intr, dtype=jnp.float64):
+def gyro_intr_from(intr, dtype=None):
     """Pack a utils.types.ImuIntrinsics into the 9-vector gyro parameter."""
     T, s = np.asarray(intr.misalignment), np.asarray(intr.scale)
     return jnp.asarray([-T[0, 1], T[0, 2], -T[1, 2], T[1, 0], -T[2, 0], T[2, 1],
@@ -179,6 +201,8 @@ def flags_to_fixed(flags: frozenset) -> list:
         fixed += ["time_offset"]
     if IMU_INTRINSICS not in flags:
         fixed += ["accl_intr", "gyro_intr"]
+    if POINTS not in flags:
+        fixed += ["points"]
     return fixed
 
 
@@ -230,13 +254,16 @@ def gyro_residual_local(delta, qwin, bwin, intr, meas, u_s, u_b, p: SplineProble
 
 
 def reproj_residual_local(delta, qwin, rwin, q_ic, t_ic, ld, toff, t_frame, row, uv, pt,
-                          u_s_fn, p: SplineProblem):
+                          u_s_fn, p: SplineProblem, sqrt_info=None):
     """Reprojection residual (GS/RS CostFunctorSplit,
     ceres_calib_split_residuals.h:180-410). delta layout:
-    [18 so3 | 18 r3 | 3 q_ic | 3 t_ic | 1 ld | 1 toff] = 44.
+    [18 so3 | 18 r3 | 3 q_ic | 3 t_ic | 1 ld | 1 toff (| 3 point)] = 44/47.
 
     ``u_s_fn(t)`` maps an (autodiff-traced) capture time to in-segment
-    coordinates, with the window index frozen by the caller.
+    coordinates, with the window index frozen by the caller. ``sqrt_info``
+    (2, 2) whitens the pixel residual by the feature information
+    (ceres_calib_split_residuals.h:276-277). With ``p.n_points > 0`` the
+    observed board point is itself a parameter (POINTS flag).
     """
     qw = lie.quat_boxplus(qwin, delta[0:18].reshape(6, 3))
     rw = rwin + delta[18:36].reshape(6, 3)
@@ -244,6 +271,8 @@ def reproj_residual_local(delta, qwin, rwin, q_ic, t_ic, ld, toff, t_frame, row,
     tic = t_ic + delta[39:42]
     ld_ = ld + delta[42]
     toff_ = toff + delta[43]
+    if p.n_points > 0:
+        pt = pt + delta[44:47]
     t_cap = t_frame + toff_ + (ld_ * row if p.rolling_shutter else 0.0)
     u_s, u_r = u_s_fn(t_cap)
     q_wi = spline.so3_eval(qw, u_s, ORDER)
@@ -254,6 +283,8 @@ def reproj_residual_local(delta, qwin, rwin, q_ic, t_ic, ld, toff, t_frame, row,
     model = cameras.get_model(p.model_name)
     uv_pred, ok = model.project(p.cam_params, p_cam)
     r = uv_pred - uv
+    if sqrt_info is not None:
+        r = sqrt_info @ r
     # Invalid projection -> zero residual (solver-side mask), replacing the
     # reference's 1e10 sentinel (ceres_calib_split_residuals.h:272-274).
     return jnp.where(ok & (p_cam[2] > 1e-3), r, 0.0)
@@ -356,38 +387,70 @@ def _reproj_eval(params, p: SplineProblem, with_jac: bool):
     qwin = spline.gather_window(params["q_so3"], i_s, ORDER)
     rwin = spline.gather_window(params["t_r3"], i_r, ORDER)
     w = (p.obs_valid & _in_range(p, t_cap0)).astype(p.obs_uv.dtype)
+    if p.n_points > 0:
+        pts = params["points"][p.obs_pt_id]  # (Mo, 3) current point values
+    else:
+        pts = p.obs_pt
+    si = p.obs_sqrt_info
+    d_dim = 47 if p.n_points > 0 else 44
 
-    def res(d, qw, rw, tf, row, uv, pt, iis, iir):
+    def res(d, qw, rw, tf, row, uv, pt, iis, iir, s2):
         def u_fn(t_cap):
             u_s = (t_cap - p.t0) / p.dt_so3 - iis.astype(t_cap.dtype)
             u_r = (t_cap - p.t0) / p.dt_r3 - iir.astype(t_cap.dtype)
             return u_s, u_r
 
         return reproj_residual_local(d, qw, rw, params["q_i_c"], params["t_i_c"],
-                                     ld, toff, tf, row, uv, pt, u_fn, p)
+                                     ld, toff, tf, row, uv, pt, u_fn, p,
+                                     sqrt_info=s2)
 
-    d0 = jnp.zeros((44,), p.obs_uv.dtype)
-    args = (qwin, rwin, p.obs_t, p.obs_row, p.obs_uv, p.obs_pt, i_s, i_r)
-    r = jax.vmap(lambda qw, rw, tf, row, uv, pt, iis, iir: res(d0, qw, rw, tf, row, uv, pt, iis, iir))(*args)
+    d0 = jnp.zeros((d_dim,), p.obs_uv.dtype)
+    si_axis = None if si is None else 0
+    si_arg = si if si is not None else None
+    in_axes = (0, 0, 0, 0, 0, 0, 0, 0, si_axis)
+    args = (qwin, rwin, p.obs_t, p.obs_row, p.obs_uv, pts, i_s, i_r, si_arg)
+    r = jax.vmap(lambda *a: res(d0, *a), in_axes=in_axes)(*args)
     r = r * w[:, None]
     J = None
     if with_jac:
-        J = jax.vmap(lambda qw, rw, tf, row, uv, pt, iis, iir: jax.jacfwd(res)(d0, qw, rw, tf, row, uv, pt, iis, iir))(*args)
+        J = jax.vmap(lambda *a: jax.jacfwd(res)(d0, *a), in_axes=in_axes)(*args)
         J = J * w[:, None, None]
     return r, J, (i_s, i_r)
 
 
 def _reproj_r_and_idx(params, p: SplineProblem, layout, with_jac: bool):
     r, J, (i_s, i_r) = _reproj_eval(params, p, with_jac)
-    idx = jnp.concatenate([
+    parts = [
         _win_idx(layout, "q_so3", i_s, ORDER),
         _win_idx(layout, "t_r3", i_r, ORDER),
         _fixed_idx(layout, "q_i_c", i_s.shape[0]),
         _fixed_idx(layout, "t_i_c", i_s.shape[0]),
         _fixed_idx(layout, "line_delay", i_s.shape[0]),
         _fixed_idx(layout, "time_offset", i_s.shape[0]),
-    ], axis=1)
+    ]
+    if p.n_points > 0:
+        parts.append(layout.global_indices("points",
+                                           p.obs_pt_id.astype(i_s.dtype)))
+    idx = jnp.concatenate(parts, axis=1)
     return r, J, idx
+
+
+def _point_prior_eval(params, p: SplineProblem, layout):
+    """Gaussian prior on the points block: r = W (pt - prior_mean).
+
+    Returns (r (P,3), J=W (P,3,3), idx (P,3)) or None when inactive. The
+    prior both encodes the empirical board-point covariance
+    (OptimizeBoardPoints, pose_estimator.cc:193-224) and pins the world
+    gauge that freeing the points would otherwise open.
+    """
+    if p.n_points == 0 or p.pt_prior_sqrt_info is None:
+        return None
+    W = p.pt_prior_sqrt_info
+    d = params["points"] - p.pt_prior_mean
+    r = jnp.einsum("pij,pj->pi", W, d)
+    idx = layout.global_indices("points",
+                                jnp.arange(p.n_points, dtype=jnp.int32))
+    return r, W, idx
 
 
 def _scatter(H, g, r, J, idx, sqrt_w=None):
@@ -402,6 +465,17 @@ def _scatter(H, g, r, J, idx, sqrt_w=None):
     return H, g
 
 
+def _obs_fields(p: SplineProblem) -> dict:
+    """The per-observation arrays actually present in this problem."""
+    d = dict(obs_t=p.obs_t, obs_row=p.obs_row, obs_uv=p.obs_uv,
+             obs_pt=p.obs_pt, obs_valid=p.obs_valid)
+    if p.obs_pt_id is not None:
+        d["obs_pt_id"] = p.obs_pt_id
+    if p.obs_sqrt_info is not None:
+        d["obs_sqrt_info"] = p.obs_sqrt_info
+    return d
+
+
 def _obs_chunks(p: SplineProblem, chunk: int):
     """Reshape observation arrays to (K, chunk, ...) with invalid padding."""
     mo = p.obs_t.shape[0]
@@ -412,8 +486,8 @@ def _obs_chunks(p: SplineProblem, chunk: int):
         cfg = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
         return jnp.pad(x, cfg, constant_values=value).reshape((k, chunk) + x.shape[1:])
 
-    return dict(obs_t=pz(p.obs_t), obs_row=pz(p.obs_row), obs_uv=pz(p.obs_uv),
-                obs_pt=pz(p.obs_pt), obs_valid=pz(p.obs_valid, False))
+    return {name: pz(x, False if name == "obs_valid" else 0)
+            for name, x in _obs_fields(p).items()}
 
 
 # ---------------------------------------------------------------------------
@@ -513,13 +587,18 @@ def _chunk_arrays(arrs: dict, chunk: int, pad_values: dict):
     return out
 
 
-def make_solver_functions(p: SplineProblem, layout, reproj_chunk: int | None = None):
+def make_solver_functions(p: SplineProblem, layout, reproj_chunk: int | None = None,
+                          include_prior: bool = True):
     """(linearize_fn, cost_fn) for lm.lm_optimize, both jit-traceable.
 
     ``reproj_chunk``: if set, reprojection blocks are assembled in a
     lax.scan over chunks of that many observations, bounding the peak
     memory of the (M, 44, 44) block/index buffers (needed at full
     GoPro-recording scale: ~230k observations).
+
+    ``include_prior``: sharded callers pass False and add the board-point
+    prior ONCE after the cross-device reduction (a per-device prior would
+    be multiplied by the mesh size under psum).
     """
 
     def cost_fn(params):
@@ -528,6 +607,10 @@ def make_solver_functions(p: SplineProblem, layout, reproj_chunk: int | None = N
         rp, _, _ = _reproj_r_and_idx(params, p, layout, with_jac=False)
         c = 0.5 * jnp.sum(ra * ra) + 0.5 * jnp.sum(rg * rg)
         c = c + robust.huber_cost(rp.reshape(-1), HUBER_PX, group_size=2)
+        if include_prior:
+            prior = _point_prior_eval(params, p, layout)
+            if prior is not None:
+                c = c + 0.5 * jnp.sum(prior[0] ** 2)
         return c
 
     def linearize_fn(params):
@@ -540,6 +623,11 @@ def make_solver_functions(p: SplineProblem, layout, reproj_chunk: int | None = N
         rg, Jg, ig = _gyro_r_and_idx(params, p, layout, with_jac=True)
         H, g = _scatter(H, g, rg, Jg, ig)
         cost = 0.5 * jnp.sum(ra * ra) + 0.5 * jnp.sum(rg * rg)
+        prior = _point_prior_eval(params, p, layout) if include_prior else None
+        if prior is not None:
+            rq, Wq, iq = prior
+            H, g = _scatter(H, g, rq, Wq, iq)
+            cost = cost + 0.5 * jnp.sum(rq * rq)
 
         if reproj_chunk is None:
             rp, Jp, ip = _reproj_r_and_idx(params, p, layout, with_jac=True)
@@ -580,9 +668,8 @@ def plan_fast_assembly(p: SplineProblem, obs_chunk: int = 16384,
     gyr_plan = _plan_chunks(np.asarray(p.gyro_t), p, imu_chunk, use_r3=False)
 
     arrs = {}
-    arrs.update(_chunk_arrays(
-        dict(obs_t=p.obs_t, obs_row=p.obs_row, obs_uv=p.obs_uv, obs_pt=p.obs_pt,
-             obs_valid=p.obs_valid), obs_plan.chunk, {"obs_valid": False}))
+    arrs.update(_chunk_arrays(_obs_fields(p), obs_plan.chunk,
+                              {"obs_valid": False}))
     arrs.update(_chunk_arrays(
         dict(accel_t=p.accel_t, accel_meas=p.accel_meas, accel_valid=p.accel_valid),
         acc_plan.chunk, {"accel_valid": False}))
@@ -592,7 +679,8 @@ def plan_fast_assembly(p: SplineProblem, obs_chunk: int = 16384,
     return (obs_plan, acc_plan, gyr_plan), arrs
 
 
-def make_fast_linearizer(p: SplineProblem, layout, plans):
+def make_fast_linearizer(p: SplineProblem, layout, plans,
+                         include_prior: bool = True):
     """Traced chunk-local linearizer: ``lin(params, arrs, bases) -> (H, g, cost)``.
 
     ``arrs`` is the chunked-array dict from :func:`plan_fast_assembly` (or a
@@ -603,9 +691,10 @@ def make_fast_linearizer(p: SplineProblem, layout, plans):
     obs_plan, acc_plan, gyr_plan = plans
     dtype = p.obs_uv.dtype
     nb3 = 3 * p.n_bias
+    np3 = 3 * p.n_points  # points are chunk-global: every chunk sees all P
 
     # Local tangent layout sizes.
-    L_obs = 3 * obs_plan.w_s + 3 * obs_plan.w_r + 8
+    L_obs = 3 * obs_plan.w_s + 3 * obs_plan.w_r + 8 + np3
     L_acc = 3 * acc_plan.w_s + 3 * acc_plan.w_r + nb3 + 3 + 6
     L_gyr = 3 * gyr_plan.w_s + nb3 + 9
 
@@ -614,7 +703,7 @@ def make_fast_linearizer(p: SplineProblem, layout, plans):
     def _clip_local(i, base, w):
         return jnp.clip(i - base, 0, w - ORDER).astype(jnp.int32)
 
-    def _reproj_chunk(params, ch, s_base, r_base):
+    def _reproj_chunk(params, ch, s_base, r_base, s_org=0, r_org=0):
         pc = p._replace(**ch)
         r, J, (i_s, i_r) = _reproj_eval(params, pc, with_jac=True)
         c = robust.huber_cost(r.reshape(-1), HUBER_PX, group_size=2)
@@ -622,23 +711,31 @@ def make_fast_linearizer(p: SplineProblem, layout, plans):
         hw = hw.reshape(r.shape)[:, 0]
         r = r * hw[:, None]
         J = J * hw[:, None, None]
-        li = jnp.concatenate([
+        tail0 = 3 * obs_plan.w_s + 3 * obs_plan.w_r
+        parts = [
             _local_win_idx(_clip_local(i_s, s_base, obs_plan.w_s), ORDER, 3, 0),
             _local_win_idx(_clip_local(i_r, r_base, obs_plan.w_r), ORDER, 3,
                            3 * obs_plan.w_s),
-            jnp.broadcast_to(jnp.arange(8, dtype=jnp.int32)
-                             + 3 * obs_plan.w_s + 3 * obs_plan.w_r,
+            jnp.broadcast_to(jnp.arange(8, dtype=jnp.int32) + tail0,
                              (i_s.shape[0], 8)),
-        ], axis=1)
+        ]
+        if p.n_points > 0:
+            pid = pc.obs_pt_id.astype(jnp.int32)
+            parts.append(tail0 + 8 + pid[:, None] * 3
+                         + jnp.arange(3, dtype=jnp.int32))
+        li = jnp.concatenate(parts, axis=1)
         Jd, rf = _densify(r, J, li, L_obs)
         H_l = Jd.T @ Jd
         g_l = Jd.T @ rf
-        regions = [(0, 3 * obs_plan.w_s, 3 * s_base),
-                   (3 * obs_plan.w_s, 3 * obs_plan.w_r, off["t_r3"] + 3 * r_base),
-                   (3 * obs_plan.w_s + 3 * obs_plan.w_r, 8, off["q_i_c"])]
+        regions = [(0, 3 * obs_plan.w_s, 3 * (s_base - s_org)),
+                   (3 * obs_plan.w_s, 3 * obs_plan.w_r,
+                    off["t_r3"] + 3 * (r_base - r_org)),
+                   (tail0, 8, off["q_i_c"])]
+        if p.n_points > 0:
+            regions.append((tail0 + 8, np3, off["points"]))
         return H_l, g_l, c, regions
 
-    def _accel_chunk(params, ch, s_base, r_base):
+    def _accel_chunk(params, ch, s_base, r_base, s_org=0, r_org=0):
         pc = p._replace(**ch)
         r, J, (i_s, i_r, i_b) = _accel_eval(params, pc, with_jac=True)
         li = jnp.concatenate([
@@ -655,15 +752,16 @@ def make_fast_linearizer(p: SplineProblem, layout, plans):
         H_l = Jd.T @ Jd
         g_l = Jd.T @ rf
         # gravity (3) + accl_intr (6) are contiguous locally but not globally.
-        regions = [(0, 3 * acc_plan.w_s, 3 * s_base),
-                   (3 * acc_plan.w_s, 3 * acc_plan.w_r, off["t_r3"] + 3 * r_base),
+        regions = [(0, 3 * acc_plan.w_s, 3 * (s_base - s_org)),
+                   (3 * acc_plan.w_s, 3 * acc_plan.w_r,
+                    off["t_r3"] + 3 * (r_base - r_org)),
                    (3 * acc_plan.w_s + 3 * acc_plan.w_r, nb3, off["bias_a"]),
                    (3 * acc_plan.w_s + 3 * acc_plan.w_r + nb3, 3, off["gravity"]),
                    (3 * acc_plan.w_s + 3 * acc_plan.w_r + nb3 + 3, 6,
                     off["accl_intr"])]
         return H_l, g_l, 0.5 * jnp.sum(r * r), regions
 
-    def _gyro_chunk(params, ch, s_base):
+    def _gyro_chunk(params, ch, s_base, s_org=0):
         pc = p._replace(**ch)
         r, J, (i_s, i_b) = _gyro_eval(params, pc, with_jac=True)
         li = jnp.concatenate([
@@ -675,7 +773,7 @@ def make_fast_linearizer(p: SplineProblem, layout, plans):
         Jd, rf = _densify(r, J, li, L_gyr)
         H_l = Jd.T @ Jd
         g_l = Jd.T @ rf
-        regions = [(0, 3 * gyr_plan.w_s, 3 * s_base),
+        regions = [(0, 3 * gyr_plan.w_s, 3 * (s_base - s_org)),
                    (3 * gyr_plan.w_s, nb3, off["bias_g"]),
                    (3 * gyr_plan.w_s + nb3, 9, off["gyro_intr"])]
         return H_l, g_l, 0.5 * jnp.sum(r * r), regions
@@ -685,11 +783,17 @@ def make_fast_linearizer(p: SplineProblem, layout, plans):
         H = jnp.zeros((D, D), dtype)
         g = jnp.zeros((D,), dtype)
         cost = jnp.zeros((), dtype)
+        # Knot-window origin of the target H: 0 for the global layout;
+        # the device's first owned-window knot for the knot-sharded local
+        # layouts (parallel/schur.py).
+        s_org = bases.get("s_org", 0)
+        r_org = bases.get("r_org", 0)
 
         def acc_body(carry, x):
             Hc, gc, cc = carry
             ch, s_base, r_base = x
-            H_l, g_l, c, regions = _accel_chunk(params, ch, s_base, r_base)
+            H_l, g_l, c, regions = _accel_chunk(params, ch, s_base, r_base,
+                                                s_org, r_org)
             Hc, gc = _block_accumulate(Hc, gc, H_l, g_l, regions)
             return (Hc, gc, cc + c), None
 
@@ -700,7 +804,7 @@ def make_fast_linearizer(p: SplineProblem, layout, plans):
         def gyr_body(carry, x):
             Hc, gc, cc = carry
             ch, s_base = x
-            H_l, g_l, c, regions = _gyro_chunk(params, ch, s_base)
+            H_l, g_l, c, regions = _gyro_chunk(params, ch, s_base, s_org)
             Hc, gc = _block_accumulate(Hc, gc, H_l, g_l, regions)
             return (Hc, gc, cc + c), None
 
@@ -711,14 +815,21 @@ def make_fast_linearizer(p: SplineProblem, layout, plans):
         def obs_body(carry, x):
             Hc, gc, cc = carry
             ch, s_base, r_base = x
-            H_l, g_l, c, regions = _reproj_chunk(params, ch, s_base, r_base)
+            H_l, g_l, c, regions = _reproj_chunk(params, ch, s_base, r_base,
+                                                 s_org, r_org)
             Hc, gc = _block_accumulate(Hc, gc, H_l, g_l, regions)
             return (Hc, gc, cc + c), None
 
-        obs_arrs = {k: arrs[k] for k in
-                    ("obs_t", "obs_row", "obs_uv", "obs_pt", "obs_valid")}
+        obs_keys = tuple(_obs_fields(p).keys())
+        obs_arrs = {k: arrs[k] for k in obs_keys}
         (H, g, cost), _ = jax.lax.scan(
             obs_body, (H, g, cost), (obs_arrs, bases["obs_s"], bases["obs_r"]))
+
+        prior = _point_prior_eval(params, p, layout) if include_prior else None
+        if prior is not None:
+            rq, Wq, iq = prior
+            H, g = _scatter(H, g, rq, Wq, iq)
+            cost = cost + 0.5 * jnp.sum(rq * rq)
         return H, g, cost
 
     return linearize
@@ -752,7 +863,11 @@ def make_solver_functions_fast(p: SplineProblem, layout,
         rg, _, _ = _gyro_eval(params, p, with_jac=False)
         rp, _, _ = _reproj_eval(params, p, with_jac=False)
         c = 0.5 * jnp.sum(ra * ra) + 0.5 * jnp.sum(rg * rg)
-        return c + robust.huber_cost(rp.reshape(-1), HUBER_PX, group_size=2)
+        c = c + robust.huber_cost(rp.reshape(-1), HUBER_PX, group_size=2)
+        prior = _point_prior_eval(params, p, build_layout(p))
+        if prior is not None:
+            c = c + 0.5 * jnp.sum(prior[0] ** 2)
+        return c
 
     return linearize_fn, cost_fn
 
@@ -767,13 +882,14 @@ def _num_knots(duration: float, dt: float, order: int) -> int:
 
 def init_spline_params(poses: PoseDataset, q_i_c0, t_i_c0, p: SplineProblem,
                        imu: ImuData, pose_time_offset: float = 0.0,
-                       dtype=jnp.float64):
+                       dtype=None):
     """Initialize knots from camera poses (BatchInitSO3R3VisPoses,
     spline_trajectory_estimator.impl.h:278-339) and gravity from early
     accelerometer samples (InitializeGravity, imu_camera_calibrator.cc:130-161).
 
     ``pose_time_offset`` shifts the pose timestamps onto the IMU clock.
     """
+    dtype = precision.resolve(dtype)
     t0, dt_so3, dt_r3 = p.t0, p.dt_so3, p.dt_r3
     n_so3, n_r3, n_bias = p.n_so3, p.n_r3, p.n_bias
     ok = poses.valid
@@ -804,7 +920,7 @@ def init_spline_params(poses: PoseDataset, q_i_c0, t_i_c0, p: SplineProblem,
     g_est = jnp.mean(lie.quat_rotate(q_at, acc), axis=0)
     g_est = 9.81 * g_est / jnp.maximum(jnp.linalg.norm(g_est), 1e-9)
 
-    return {
+    out = {
         "q_so3": q_knots,
         "t_r3": t_knots,
         "bias_a": jnp.zeros((n_bias, 3), dtype),
@@ -817,14 +933,18 @@ def init_spline_params(poses: PoseDataset, q_i_c0, t_i_c0, p: SplineProblem,
         "accl_intr": identity_accl_intr(dtype),
         "gyro_intr": identity_gyro_intr(dtype),
     }
+    if p.n_points > 0:
+        out["points"] = jnp.asarray(p.pt_prior_mean, dtype)
+    return out
 
 
 def build_problem(corners: CornerDataset, calib: CameraCalibration,
                   imu: ImuData, sew: SplineWeightingData,
                   time_offset: float, rolling_shutter: bool,
-                  dtype=jnp.float64) -> SplineProblem:
+                  dtype=None) -> SplineProblem:
     """Assemble measurement batches. Corner times are shifted by
     ``time_offset`` onto the IMU clock (t_imu = t_cam + offset)."""
+    dtype = precision.resolve(dtype)
     cam_t = corners.times + time_offset
     t_lo = max(float(imu.times[0]), float(cam_t.min()))
     t_hi = min(float(imu.times[-1]), float(cam_t.max()))
@@ -853,6 +973,68 @@ def build_problem(corners: CornerDataset, calib: CameraCalibration,
         obs_valid=jnp.asarray(obs_valid),
         cam_params=jnp.asarray(calib.params, dtype), model_name=calib.model_name,
         rolling_shutter=rolling_shutter)
+
+
+def enable_board_points(p: SplineProblem, *, point_prior_std: float = 1e-3,
+                        point_cov: np.ndarray | None = None,
+                        reproj_cov: np.ndarray | None = None) -> SplineProblem:
+    """Activate the POINTS parameter block on an assembled problem.
+
+    Mirrors the reference's POINTS flag + feature covariance machinery:
+    board points become optimization parameters
+    (spline_trajectory_estimator.h:17-27), reprojection residuals are
+    whitened by the per-feature covariance
+    (ceres_calib_split_residuals.h:276-277,395-396), and the empirical
+    board-point covariance of OptimizeBoardPoints
+    (src/core/pose_estimator.cc:193-224) becomes a Gaussian prior pinning
+    each point (which also pins the world gauge that freeing the board
+    would otherwise open).
+
+    ``point_cov``  — (P, 3, 3) prior covariance per point; default
+                     isotropic ``point_prior_std``² I.
+    ``reproj_cov`` — (P, 2, 2) per-point feature covariance in px²;
+                     default identity (no whitening).
+    Observations must be view-major tiles of the P board points, as
+    ``build_problem`` lays them out.
+    """
+    P = None
+    # Infer P from the tiling: obs_pt is np.tile(board_points, (V, 1)).
+    mo = int(p.obs_t.shape[0])
+    bp0 = np.asarray(p.obs_pt)
+    # Find the tile period: first index where the full prefix repeats.
+    for cand in range(1, mo + 1):
+        if mo % cand == 0 and np.array_equal(bp0[:cand], bp0[cand:2 * cand]) \
+                and np.allclose(bp0, np.tile(bp0[:cand], (mo // cand, 1))):
+            P = cand
+            break
+    assert P is not None, "observations are not a per-view tiling of the board"
+    V = mo // P
+    pts = bp0[:P]
+    obs_pt_id = jnp.asarray(np.tile(np.arange(P, dtype=np.int32), V))
+
+    dtype = p.obs_uv.dtype
+
+    def _sqrt_info(cov, floor):
+        # W = inv(chol(cov))^T so that W^T W = cov^{-1}; a variance floor
+        # keeps near-singular empirical covariances factorizable.
+        cov = np.asarray(cov, np.float64)
+        cov = cov + floor * np.eye(cov.shape[-1])
+        L = np.linalg.cholesky(cov)
+        return np.transpose(np.linalg.inv(L), (0, 2, 1))
+
+    if point_cov is None:
+        W = np.broadcast_to(np.eye(3) / point_prior_std, (P, 3, 3)).copy()
+    else:
+        W = _sqrt_info(point_cov, 1e-10)  # 10 um std floor
+    sqrt_info = None
+    if reproj_cov is not None:
+        Sr = _sqrt_info(reproj_cov, 1e-4)  # 0.01 px std floor, (P, 2, 2)
+        sqrt_info = jnp.asarray(np.tile(Sr, (V, 1, 1)), dtype)
+
+    return p._replace(n_points=P, obs_pt_id=obs_pt_id,
+                      obs_sqrt_info=sqrt_info,
+                      pt_prior_mean=jnp.asarray(pts, dtype),
+                      pt_prior_sqrt_info=jnp.asarray(W, dtype))
 
 
 def optimize(p: SplineProblem, params0: dict, flags: frozenset = DEFAULT_FLAGS,
@@ -928,9 +1110,29 @@ def evaluate_imu(p: SplineProblem, params, t):
 
 def mean_reprojection_error(p: SplineProblem, params) -> float:
     """Mean pixel reprojection error over valid observations
-    (GetMeanReprojectionError, impl.h:993-1072)."""
+    (GetMeanReprojectionError, impl.h:993-1072). Reported in raw pixels:
+    feature-covariance whitening is disabled for this metric."""
+    p = p._replace(obs_sqrt_info=None)
     layout = build_layout(p)
     rp, _, _ = _reproj_r_and_idx(params, p, layout, with_jac=False)
     w = (p.obs_valid & _in_range(p, p.obs_t)).astype(rp.dtype)
     err = jnp.linalg.norm(rp, axis=-1) * w
     return float(jnp.sum(err) / jnp.maximum(jnp.sum(w), 1.0))
+
+
+def per_view_reprojection_rmse(p: SplineProblem, params,
+                               points_per_view: int) -> np.ndarray:
+    """(V,) per-view RMSE in pixels, NaN for views with no valid
+    observation (the reference prints per-view errors via
+    GetReprojErrorOfView, src/utils/utils.cc:163-177). Observations are
+    view-major (build_problem tiles board points per view). Raw pixels:
+    whitening disabled for this metric."""
+    p = p._replace(obs_sqrt_info=None)
+    rp, _, _ = _reproj_eval(params, p, with_jac=False)
+    w = (p.obs_valid & _in_range(p, p.obs_t)).astype(rp.dtype)
+    se_px = jnp.sum(rp * rp, axis=-1) * w
+    V = p.obs_t.shape[0] // points_per_view
+    se_v = se_px[:V * points_per_view].reshape(V, points_per_view).sum(1)
+    n_v = w[:V * points_per_view].reshape(V, points_per_view).sum(1)
+    rmse = jnp.sqrt(se_v / jnp.maximum(n_v, 1.0))
+    return np.asarray(jnp.where(n_v > 0, rmse, jnp.nan))

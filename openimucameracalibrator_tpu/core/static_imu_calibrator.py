@@ -29,6 +29,7 @@ import numpy as np
 from openimucameracalibrator_tpu.ops import imu_integration, intervals, lie
 from openimucameracalibrator_tpu.solver import blocks, lm
 from openimucameracalibrator_tpu.utils.types import ImuData, ImuIntrinsics
+from openimucameracalibrator_tpu.utils import precision
 
 
 @dataclasses.dataclass
@@ -70,7 +71,7 @@ def calibrate_accelerometer(static_means: np.ndarray, g: float = 9.81):
 
     Returns (ImuIntrinsics, final_cost). static_means: (M, 3), M >= 9.
     """
-    means = jnp.asarray(static_means, jnp.float64)
+    means = jnp.asarray(static_means, precision.default_dtype())
     layout = blocks.BlockLayout([blocks.BlockSpec("theta", (9,))])
 
     def residual(params):
@@ -79,7 +80,7 @@ def calibrate_accelerometer(static_means: np.ndarray, g: float = 9.81):
         return g - jnp.linalg.norm(cal, axis=-1)
 
     lin, cost, retract = lm.make_dense_linearizer(residual, layout)
-    theta0 = jnp.asarray([0, 0, 0, 1, 1, 1, 0, 0, 0], jnp.float64)
+    theta0 = jnp.asarray([0, 0, 0, 1, 1, 1, 0, 0, 0], precision.default_dtype())
     res = lm.lm_optimize(lin, cost, retract, {"theta": theta0}, layout.free_mask(),
                          lm.LMConfig(max_iters=100, ftol=1e-12))
     T, K, b = _accel_matrices(res.params["theta"])
@@ -141,7 +142,7 @@ def calibrate_gyroscope(imu: ImuData, static_ivs, accel_intr: ImuIntrinsics,
         return jax.vmap(one)(seg_gyro_j, seg_t_j, v0, v1).reshape(-1)
 
     lin, cost, retract = lm.make_dense_linearizer(residual, layout)
-    theta0 = jnp.asarray([0, 0, 0, 0, 0, 0, 1, 1, 1], jnp.float64)
+    theta0 = jnp.asarray([0, 0, 0, 0, 0, 0, 1, 1, 1], precision.default_dtype())
     res = lm.lm_optimize(lin, cost, retract, {"theta": theta0}, layout.free_mask(),
                          lm.LMConfig(max_iters=60, ftol=1e-12))
     T, K = _gyro_matrices(res.params["theta"])

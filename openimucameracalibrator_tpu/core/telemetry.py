@@ -21,7 +21,8 @@ import json
 
 import numpy as np
 
-from openimucameracalibrator_tpu.utils.types import CameraTelemetry, ImuData
+from openimucameracalibrator_tpu.utils.types import (CameraTelemetry, GPSData,
+                                                     ImuData)
 
 NS = 1e-9
 US = 1e-6
@@ -56,9 +57,20 @@ def read_gopro_telemetry(path: str, skip_seconds: float = 0.0) -> CameraTelemetr
         # (w, x, z, y) -> (w, x, y, z)
         quats = cori[:, [0, 1, 3, 2]]
         img_t = np.asarray([c["cts"] for c in streams["CORI"]["samples"]], np.float64) * MS
+    gps = None
+    if "GPS5" in streams:
+        # GPS5 sample value: [lat deg, lon deg, alt m, speed2d, speed3d]
+        # (telemetry_converter.py:104-118).
+        s = streams["GPS5"]["samples"]
+        v = np.asarray([x["value"] for x in s], np.float64)
+        gps = GPSData(times=np.asarray([x["cts"] for x in s], np.float64) * MS,
+                      llh=v[:, :3],
+                      precision=np.asarray(
+                          [x.get("precision", 0.0) for x in s], np.float64),
+                      vel3d=v[:, 4] if v.shape[1] > 4 else None)
     t, accl, gyro = _skip(t, accl, gyro, skip_seconds=skip_seconds)
     return CameraTelemetry(imu=ImuData(times=t, accel=accl, gyro=gyro),
-                           img_times=img_t, cam_quats=quats)
+                           img_times=img_t, cam_quats=quats, gps=gps)
 
 
 def read_pygpmf_json(path: str, skip_seconds: float = 0.0) -> CameraTelemetry:
@@ -75,9 +87,15 @@ def read_pygpmf_json(path: str, skip_seconds: float = 0.0) -> CameraTelemetry:
     if "CORI" in data:
         cori = np.asarray(data["CORI"]["data"], np.float64)
         quats = cori[:, [0, 1, 3, 2]]
+    gps = None
+    if "GPS5" in data:
+        v = np.asarray(data["GPS5"]["data"], np.float64)
+        gps = GPSData(times=np.asarray(data["GPS5"]["timestamps_s"], np.float64),
+                      llh=v[:, :3],
+                      vel3d=v[:, 4] if v.shape[1] > 4 else None)
     t, accl, gyro = _skip(t, accl, gyro, skip_seconds=skip_seconds)
     return CameraTelemetry(imu=ImuData(times=t, accel=accl, gyro=gyro),
-                           img_times=img_t, cam_quats=quats)
+                           img_times=img_t, cam_quats=quats, gps=gps)
 
 
 def read_generic_json(path: str, skip_seconds: float = 0.0) -> CameraTelemetry:
@@ -88,9 +106,18 @@ def read_generic_json(path: str, skip_seconds: float = 0.0) -> CameraTelemetry:
     accl = np.asarray(data["accelerometer"], np.float64)
     gyro = np.asarray(data["gyroscope"], np.float64)
     img_t = np.asarray(data.get("img_timestamps_ns", []), np.float64) * NS
+    gps = None
+    if data.get("gps_llh"):
+        gps = GPSData(
+            times=np.asarray(data["gps_timestamps_ns"], np.float64) * NS,
+            llh=np.asarray(data["gps_llh"], np.float64),
+            precision=(np.asarray(data["gps_precision"], np.float64)
+                       if "gps_precision" in data else None),
+            vel3d=(np.asarray(data["gps_vel3d"], np.float64)
+                   if "gps_vel3d" in data else None))
     t, accl, gyro = _skip(t, accl, gyro, skip_seconds=skip_seconds)
     return CameraTelemetry(imu=ImuData(times=t, accel=accl, gyro=gyro),
-                           img_times=img_t if img_t.size else None)
+                           img_times=img_t if img_t.size else None, gps=gps)
 
 
 def read_pilotguru(accl_path: str, gyro_path: str, cam_path: str,
@@ -190,6 +217,13 @@ def write_generic_json(tel: CameraTelemetry, path: str, cam_fps: float = 0.0):
             1.0 / float(np.mean(np.diff(tel.img_times)))
             if tel.img_times is not None and len(tel.img_times) > 1 else 0.0),
     }
+    if tel.gps is not None:
+        out["gps_timestamps_ns"] = (np.asarray(tel.gps.times) / NS).tolist()
+        out["gps_llh"] = np.asarray(tel.gps.llh).tolist()
+        if tel.gps.precision is not None:
+            out["gps_precision"] = np.asarray(tel.gps.precision).tolist()
+        if tel.gps.vel3d is not None:
+            out["gps_vel3d"] = np.asarray(tel.gps.vel3d).tolist()
     with open(path, "w") as f:
         json.dump(out, f)
 

@@ -33,6 +33,7 @@ from typing import Callable, Dict, Sequence
 
 import jax
 import jax.numpy as jnp
+from openimucameracalibrator_tpu.utils import precision
 
 _EPS = 1e-9
 
@@ -261,14 +262,14 @@ def fisheye_unproject(params, uv):
 # ---------------------------------------------------------------------------
 
 def _init(n_extra, *extra_defaults):
-    def fn(f, cx, cy, dtype=jnp.float64):
+    def fn(f, cx, cy, dtype=None):
         base = [f, f, cx, cy]
-        return jnp.array(base + list(extra_defaults), dtype=dtype)
+        return jnp.array(base + list(extra_defaults), dtype=precision.resolve(dtype))
     return fn
 
 
-def _init_divundist(f, cx, cy, dtype=jnp.float64):
-    return jnp.array([f, cx, cy, 0.0], dtype=dtype)
+def _init_divundist(f, cx, cy, dtype=None):
+    return jnp.array([f, cx, cy, 0.0], dtype=precision.resolve(dtype))
 
 
 CAMERA_MODELS: Dict[str, CameraModel] = {

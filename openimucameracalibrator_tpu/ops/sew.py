@@ -109,12 +109,41 @@ def compute_sew(imu: ImuData, cam_fps: float, q_so3: float = 0.99,
         cam_fps=cam_fps)
 
 
-def estimate_static_biases(imu: ImuData, gravity_const: float = 9.81) -> tuple:
+def estimate_static_biases(imu: ImuData, gravity_const: float = 9.81,
+                           gyro_var_thresh: float = 5e-4,
+                           accel_var_thresh: float = 0.05) -> tuple:
     """Static-capture bias estimate (python/get_imu_biases.py:39-62):
     gravity removed along the dominant mean-acceleration axis; means of the
-    remainder are the biases. Returns (accel_bias (3,), gyro_bias (3,))."""
-    mean_accl = np.mean(imu.accel, axis=0)
+    remainder are the biases. Returns (accel_bias (3,), gyro_bias (3,)).
+
+    The mean-equals-bias assumption only holds while the device is at
+    rest, so the estimate is restricted to the longest detected static
+    run (variance-norm detector, ops/intervals.py; the reference driver
+    runs this tool on a deliberately static segment,
+    python/get_imu_biases.py). A recording with no >=0.5 s static span
+    returns zero biases with a warning — the batch stage optimizes
+    biases from that init anyway (IMU_BIASES flag).
+    """
+    import warnings
+
+    from openimucameracalibrator_tpu.ops import intervals
+
+    rate = imu.rate_hz
+    hw = max(int(0.25 * rate), 5)
+    min_len = max(int(0.5 * rate), 2 * hw + 1)
+    ivs_g, _ = intervals.static_intervals(imu.gyro, gyro_var_thresh,
+                                          half_window=hw, min_length=min_len)
+    va = intervals.rolling_variance_norm(imu.accel, hw)
+    static = [iv for iv in ivs_g
+              if np.median(va[iv.start:iv.end + 1]) < accel_var_thresh]
+    if not static:
+        warnings.warn("estimate_static_biases: no static interval found "
+                      "(recording is dynamic); returning zero biases")
+        return np.zeros(3), np.zeros(3)
+    best = max(static, key=lambda iv: iv.length)
+    sel = slice(best.start, best.end + 1)
+    mean_accl = np.mean(imu.accel[sel], axis=0)
     k = int(np.argmax(np.abs(mean_accl)))
     grav = np.zeros(3)
     grav[k] = gravity_const * np.sign(mean_accl[k])
-    return mean_accl - grav, np.mean(imu.gyro, axis=0)
+    return mean_accl - grav, np.mean(imu.gyro[sel], axis=0)

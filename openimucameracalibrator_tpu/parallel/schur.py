@@ -1,0 +1,397 @@
+"""Knot-segment model parallelism: distributed Schur-complement solver.
+
+The data-parallel solver (parallel/sharded.py) replicates the dense D x D
+normal equations on every device — fine at single-recording scale, but the
+BASELINE north star (multi-sequence / long recordings) needs the Hessian
+itself partitioned. This module shards the spline-knot axis:
+
+* Measurements are split into contiguous TIME shards (they are sorted), so
+  each device's residuals touch only a local window of SO(3)/R³ knots —
+  the B-spline band structure (every residual covers ≤ ORDER=6 contiguous
+  knots, reference spline_trajectory_estimator.impl.h:384-404).
+* Each device assembles a LOCAL dense Hessian over [its knot window +
+  the small global tail (biases, gravity, T_i_c, line delay, time offset,
+  IMU intrinsics, board points)] using the same chunk-local MXU assembly
+  as the single-device fast path — the full D x D matrix is never formed.
+* Knots touched by more than one device (the halo, width ≤ ORDER-1 per
+  boundary — SURVEY.md §5's halo-exchange note) plus the tail form the
+  SEPARATOR system. Interior knots are eliminated per device with a local
+  Cholesky; the reduced Schur complement (a few hundred dims) is psum'd
+  over ICI, solved replicated, and back-substituted in parallel.
+
+This is a domain-decomposition direct solve: algebraically exact (equal to
+the replicated dense solve up to fp rounding), with per-device Hessian
+memory O((D/n + S)²) instead of O(D²). Board points live in the separator
+tail; because each observation touches exactly one point, a further
+per-point elimination is possible at very large P, but at calibration
+scale (P ≲ 10³) the dense separator solve is already negligible.
+
+The reference has no distributed execution of any kind (SURVEY.md §2.7);
+this is the TPU-native design mandated by BASELINE.json ("spline knot
+segments partitioned per host, Schur-complement reduction over landmarks,
+reduce-scatter collectives").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from openimucameracalibrator_tpu.core import spline_estimator as se
+from openimucameracalibrator_tpu.parallel.sharded import (_pad_family,
+                                                          _plan_family)
+from openimucameracalibrator_tpu.solver import blocks, lm, robust
+
+
+class KnotPartition(NamedTuple):
+    """Host-computed static partition of the knot axis over n devices."""
+
+    n: int                      # mesh size
+    m: int                      # local tangent dim (shared across devices)
+    S: int                      # separator (shared) tangent dim
+    n_s_loc: int                # local so3 knot-window size
+    n_r_loc: int                # local r3 knot-window size
+    s_lo: np.ndarray            # (n,) first so3 knot of each device window
+    r_lo: np.ndarray            # (n,)
+    loc2glob: np.ndarray        # (n, m) global tangent index of local coord
+    int_mask: np.ndarray        # (n, m) 1.0 where coord is interior to d
+    loc2shared: np.ndarray      # (n, m) separator index, S where interior
+    shared2glob: np.ndarray     # (S,) global tangent index of separator coord
+    layout_loc: blocks.BlockLayout  # local block layout
+
+
+def _touched_range(times, valid, t0, dt, n_knots, order):
+    t = np.asarray(times).reshape(-1)[np.asarray(valid).reshape(-1)]
+    if t.size == 0:
+        return None
+    i = np.clip(np.floor((t - t0) / dt), 0, n_knots - order).astype(np.int64)
+    return int(i.min()), int(i.max()) + order
+
+
+def partition_knots(p: se.SplineProblem, n: int, plans_np) -> KnotPartition:
+    """Build the static knot partition from per-device chunk plans.
+
+    ``plans_np``: ((ws_o, wr_o, sb_o, rb_o), (ws_a, wr_a, sb_a, rb_a),
+    (ws_g, _, sb_g, _), touched) as produced in
+    :func:`make_schur_solver_functions`.
+    """
+    (ws_o, wr_o, sb_o, rb_o), (ws_a, wr_a, sb_a, rb_a), (ws_g, _, sb_g, _), \
+        touched = plans_np
+
+    # Device knot-coverage windows: union of all chunk windows.
+    lo_s = np.minimum.reduce([sb_o.min(1), sb_a.min(1), sb_g.min(1)])
+    hi_s = np.maximum.reduce([sb_o.max(1) + ws_o, sb_a.max(1) + ws_a,
+                              sb_g.max(1) + ws_g])
+    lo_r = np.minimum(rb_o.min(1), rb_a.min(1))
+    hi_r = np.maximum(rb_o.max(1) + wr_o, rb_a.max(1) + wr_a)
+    n_s_loc = min(int((hi_s - lo_s).max()), p.n_so3)
+    n_r_loc = min(int((hi_r - lo_r).max()), p.n_r3)
+    s_lo = np.clip(lo_s, 0, p.n_so3 - n_s_loc).astype(np.int32)
+    r_lo = np.clip(lo_r, 0, p.n_r3 - n_r_loc).astype(np.int32)
+
+    # Ownership from exact touched ranges: knots touched by one device are
+    # its interior; touched by >=2 are separator; untouched knots inside a
+    # coverage window go to the lowest covering device (their rows are
+    # zero, so the assignment only keeps the local factorization square).
+    def ownership(n_knots, tr, lo, width):
+        count = np.zeros(n_knots, np.int32)
+        owner = np.full(n_knots, -1, np.int32)
+        for d in range(n):
+            if tr[d] is None:
+                continue
+            a, b = tr[d]
+            count[a:b] += 1
+            owner[a:b] = np.where(count[a:b] == 1, d, owner[a:b])
+        shared = count >= 2
+        for d in range(n - 1, -1, -1):  # lowest device wins
+            cov = slice(int(lo[d]), int(lo[d]) + width)
+            sel = (count[cov] == 0)
+            owner[cov] = np.where(sel, d, owner[cov])
+        return owner, shared
+
+    own_s, sh_s = ownership(p.n_so3, [t[0] for t in touched], s_lo, n_s_loc)
+    own_r, sh_r = ownership(p.n_r3, [t[1] for t in touched], r_lo, n_r_loc)
+
+    layout_g = se.build_layout(p)
+    tail_specs = [s for s in layout_g.specs if s.name not in ("q_so3", "t_r3")]
+    tail_dim = sum(s.tangent_size for s in tail_specs)
+    off_r3_g = layout_g.offsets["t_r3"]
+    off_tail_g = layout_g.offsets["bias_a"]
+
+    sh_s_idx = np.flatnonzero(sh_s)
+    sh_r_idx = np.flatnonzero(sh_r)
+    n_sh_s, n_sh_r = len(sh_s_idx), len(sh_r_idx)
+    S = 3 * (n_sh_s + n_sh_r) + tail_dim
+    # knot -> separator slot (first coord of its 3), -1 if not shared
+    s_slot = np.full(p.n_so3, -1, np.int64)
+    s_slot[sh_s_idx] = 3 * np.arange(n_sh_s)
+    r_slot = np.full(p.n_r3, -1, np.int64)
+    r_slot[sh_r_idx] = 3 * n_sh_s + 3 * np.arange(n_sh_r)
+    shared2glob = np.concatenate([
+        (3 * sh_s_idx[:, None] + np.arange(3)).reshape(-1),
+        (off_r3_g + 3 * sh_r_idx[:, None] + np.arange(3)).reshape(-1),
+        off_tail_g + np.arange(tail_dim),
+    ]).astype(np.int32)
+
+    layout_loc = blocks.BlockLayout(
+        [blocks.BlockSpec("q_so3", (n_s_loc, 4), "quat"),
+         blocks.BlockSpec("t_r3", (n_r_loc, 3))] + list(tail_specs))
+    m = layout_loc.tangent_dim
+    tail0 = 3 * (n_s_loc + n_r_loc)
+
+    loc2glob = np.zeros((n, m), np.int32)
+    int_mask = np.zeros((n, m), np.float64)
+    loc2shared = np.full((n, m), S, np.int32)
+    j = np.arange(m)
+    for d in range(n):
+        k_s = s_lo[d] + j[:tail0][: 3 * n_s_loc] // 3
+        loc2glob[d, :3 * n_s_loc] = 3 * s_lo[d] + j[:3 * n_s_loc]
+        int_mask[d, :3 * n_s_loc] = (own_s[k_s] == d) & ~sh_s[k_s]
+        slot = s_slot[k_s]
+        sel = slot >= 0
+        loc2shared[d, :3 * n_s_loc][sel] = (slot + j[:3 * n_s_loc] % 3)[sel]
+
+        jr = j[3 * n_s_loc:tail0] - 3 * n_s_loc
+        k_r = r_lo[d] + jr // 3
+        loc2glob[d, 3 * n_s_loc:tail0] = off_r3_g + 3 * r_lo[d] + jr
+        int_mask[d, 3 * n_s_loc:tail0] = (own_r[k_r] == d) & ~sh_r[k_r]
+        slot = r_slot[k_r]
+        sel = slot >= 0
+        loc2shared[d, 3 * n_s_loc:tail0][sel] = (slot + jr % 3)[sel]
+
+        loc2glob[d, tail0:] = off_tail_g + np.arange(tail_dim)
+        loc2shared[d, tail0:] = 3 * (n_sh_s + n_sh_r) + np.arange(tail_dim)
+
+    return KnotPartition(n=n, m=m, S=S, n_s_loc=n_s_loc, n_r_loc=n_r_loc,
+                         s_lo=s_lo, r_lo=r_lo, loc2glob=loc2glob,
+                         int_mask=int_mask, loc2shared=loc2shared,
+                         shared2glob=shared2glob, layout_loc=layout_loc)
+
+
+class SchurNE(NamedTuple):
+    """Distributed normal equations: per-device local Hessians + the
+    psum-reduced separator block. The full D x D matrix never exists."""
+
+    H_loc: jax.Array   # (n, m, m) sharded over the mesh axis
+    g_loc: jax.Array   # (n, m) sharded
+    C: jax.Array       # (S, S) replicated: separator-separator sum
+    g_S: jax.Array     # (S,)
+    d_S: jax.Array     # (S,) separator diagonal sum (for equilibration)
+
+
+def make_schur_solver_functions(p: se.SplineProblem, mesh: Mesh,
+                                axis: str = "data",
+                                obs_chunk: int = 8192,
+                                imu_chunk: int = 2048):
+    """(linearize_fn, cost_fn, solve_fn, mask_fn, layout) for lm_optimize.
+
+    linearize returns ``(SchurNE, g_placeholder, cost)`` compatible with
+    the pluggable lm.lm_optimize interface; solve_fn runs the distributed
+    Schur elimination and returns a full (D,) tangent step (a vector of D
+    floats is cheap to replicate — it is the D x D matrix that must stay
+    sharded).
+    """
+    n = mesh.shape[axis]
+    layout_g = se.build_layout(p)
+    D = layout_g.tangent_dim
+    dtype = p.obs_uv.dtype
+
+    fam_obs, k_obs = _pad_family(se._obs_fields(p), "obs_t", "obs_valid",
+                                 n, obs_chunk)
+    fam_acc, k_acc = _pad_family(
+        dict(accel_t=p.accel_t, accel_meas=p.accel_meas,
+             accel_valid=p.accel_valid), "accel_t", "accel_valid", n, imu_chunk)
+    fam_gyr, k_gyr = _pad_family(
+        dict(gyro_t=p.gyro_t, gyro_meas=p.gyro_meas, gyro_valid=p.gyro_valid),
+        "gyro_t", "gyro_valid", n, imu_chunk)
+
+    pl_o = _plan_family(fam_obs["obs_t"], p, obs_chunk, True)
+    pl_a = _plan_family(fam_acc["accel_t"], p, imu_chunk, True)
+    pl_g = _plan_family(fam_gyr["gyro_t"], p, imu_chunk, False)
+
+    touched = []
+    for d in range(n):
+        tr_s, tr_r = [], []
+        for fam, tk, vk, use_r3 in ((fam_obs, "obs_t", "obs_valid", True),
+                                    (fam_acc, "accel_t", "accel_valid", True),
+                                    (fam_gyr, "gyro_t", "gyro_valid", False)):
+            ts = _touched_range(fam[tk][d], fam[vk][d], p.t0, p.dt_so3,
+                                p.n_so3, se.ORDER)
+            if ts is not None:
+                tr_s.append(ts)
+            if use_r3:
+                tr = _touched_range(fam[tk][d], fam[vk][d], p.t0, p.dt_r3,
+                                    p.n_r3, se.ORDER)
+                if tr is not None:
+                    tr_r.append(tr)
+        merge = lambda rs: (min(a for a, _ in rs), max(b for _, b in rs)) \
+            if rs else None
+        touched.append((merge(tr_s), merge(tr_r)))
+
+    part = partition_knots(p, n, (pl_o, pl_a, pl_g, touched))
+
+    dummy = jnp.zeros((1,), jnp.int32)
+    plans = (se.ChunkPlan(k_obs, obs_chunk, pl_o[0], pl_o[1], dummy, dummy),
+             se.ChunkPlan(k_acc, imu_chunk, pl_a[0], pl_a[1], dummy, dummy),
+             se.ChunkPlan(k_gyr, imu_chunk, pl_g[0], 0, dummy, dummy))
+    lin_local = se.make_fast_linearizer(p, part.layout_loc, plans,
+                                        include_prior=False)
+
+    sh = NamedSharding(mesh, P(axis))
+    arrs = {f: jax.device_put(jnp.asarray(v), sh)
+            for fam in (fam_obs, fam_acc, fam_gyr) for f, v in fam.items()}
+    bases = {f: jax.device_put(jnp.asarray(v), sh)
+             for f, v in dict(obs_s=pl_o[2], obs_r=pl_o[3], acc_s=pl_a[2],
+                              acc_r=pl_a[3], gyr_s=pl_g[2],
+                              s_org=part.s_lo, r_org=part.r_lo).items()}
+    maps = {f: jax.device_put(jnp.asarray(v), sh)
+            for f, v in dict(loc2glob=part.loc2glob,
+                             int_mask=jnp.asarray(part.int_mask, dtype),
+                             loc2shared=part.loc2shared).items()}
+    arr_specs = {f: P(axis) for f in arrs}
+    base_specs = {f: P(axis) for f in bases}
+    map_specs = {f: P(axis) for f in maps}
+    S, m = part.S, part.m
+    sh2g = jnp.asarray(part.shared2glob)
+
+    # Board-point prior: points live in the separator tail -> add the
+    # prior's normal-equation blocks ONCE to the reduced (C, g_S) system.
+    has_prior = p.n_points > 0 and p.pt_prior_sqrt_info is not None
+    if has_prior:
+        pts_off_g = layout_g.offsets["points"]
+        # separator index of each points coord (tail is always shared)
+        tail_start_S = S - (layout_g.tangent_dim - layout_g.offsets["bias_a"])
+        pts_off_S = tail_start_S + (pts_off_g - layout_g.offsets["bias_a"])
+
+    # check_vma=False: the linearizer's scan carry starts replicated and
+    # becomes device-varying on the first accumulate; correctness of the
+    # replication pattern is pinned by the dense-equality tests
+    # (tests/test_schur.py::test_schur_solve_matches_dense).
+    @functools.partial(jax.shard_map, mesh=mesh,
+                       in_specs=(P(), arr_specs, base_specs, map_specs),
+                       out_specs=(P(axis), P(axis), P(), P(), P(), P()),
+                       check_vma=False)
+    def _linearize(params, arrs_l, bases_l, maps_l):
+        arrs_l = {f: v[0] for f, v in arrs_l.items()}
+        bases_l = {f: v[0] for f, v in bases_l.items()}
+        H_loc, g_loc, c = lin_local(params, arrs_l, bases_l)
+        E = jax.nn.one_hot(maps_l["loc2shared"][0], S, dtype=H_loc.dtype)
+        HE = H_loc @ E
+        C = E.T @ HE
+        g_S = E.T @ g_loc
+        d_S = E.T @ jnp.diag(H_loc)
+        C, g_S, d_S, c = jax.lax.psum((C, g_S, d_S, c), axis)
+        return H_loc[None], g_loc[None], C, g_S, d_S, c
+
+    def linearize_fn(params):
+        H_loc, g_loc, C, g_S, d_S, c = _linearize(params, arrs, bases, maps)
+        if has_prior:
+            Wq = p.pt_prior_sqrt_info
+            rq = jnp.einsum("pij,pj->pi",
+                            Wq, params["points"] - p.pt_prior_mean)
+            Hq = jnp.einsum("pki,pkj->pij", Wq, Wq)  # (P, 3, 3)
+            gq = jnp.einsum("pij,pi->pj", Wq, rq)
+            ii = pts_off_S + 3 * jnp.arange(p.n_points)[:, None] \
+                + jnp.arange(3)
+            C = C.at[ii[:, :, None], ii[:, None, :]].add(Hq)
+            g_S = g_S.at[ii].add(gq)
+            d_S = d_S.at[ii].add(jax.vmap(jnp.diag)(Hq))
+            c = c + 0.5 * jnp.sum(rq * rq)
+        return SchurNE(H_loc, g_loc, C, g_S, d_S), None, c
+
+    # check_vma=False: x_S is replicated by construction (solved from
+    # psum'd quantities); the final delta is psum'd back to replicated.
+    @functools.partial(jax.shard_map, mesh=mesh,
+                       in_specs=(P(axis), P(axis), P(), P(), P(),
+                                 map_specs, P(), P()),
+                       out_specs=P(), check_vma=False)
+    def _solve(H_loc, g_loc, C, g_S, d_S, maps_l, free_mask, lam):
+        H_loc, g_loc = H_loc[0], g_loc[0]
+        l2g = maps_l["loc2glob"][0]
+        imask = maps_l["int_mask"][0]
+        E = jax.nn.one_hot(maps_l["loc2shared"][0], S, dtype=H_loc.dtype)
+        fm_loc = free_mask[l2g]
+        fm_S = free_mask[sh2g]
+
+        # Jacobi equilibration with globally consistent diagonals (shared
+        # coords use the psum'd diagonal so both sides scale identically).
+        d_loc = jnp.diag(H_loc)
+        d_full = jnp.where(imask > 0, d_loc, E @ d_S)
+        s_loc = jax.lax.rsqrt(jnp.maximum(d_full, 1e-12))
+        s_S = jax.lax.rsqrt(jnp.maximum(d_S, 1e-12))
+
+        a = imask * fm_loc * s_loc          # active interior scaling
+        ind = (imask * fm_loc)              # 0/1 active-interior indicator
+        A = H_loc * a[:, None] * a[None, :] \
+            + jnp.diag(1.0 - ind + lam * ind)
+        b_S = fm_S * s_S
+        B = (a[:, None] * H_loc) @ (E * b_S[None, :])   # (m, S)
+        C_s = C * b_S[:, None] * b_S[None, :] \
+            + jnp.diag(1.0 - fm_S + lam * fm_S)
+        g_i = a * g_loc
+        g_Ss = b_S * g_S
+
+        L, low = jax.scipy.linalg.cho_factor(A, lower=True)
+        AinvB = jax.scipy.linalg.cho_solve((L, low), B)
+        Ainvg = jax.scipy.linalg.cho_solve((L, low), g_i)
+        S_red = C_s - jax.lax.psum(B.T @ AinvB, axis)
+        rhs = g_Ss - jax.lax.psum(B.T @ Ainvg, axis)
+        Ls, lows = jax.scipy.linalg.cho_factor(S_red, lower=True)
+        x_S = jax.scipy.linalg.cho_solve((Ls, lows), -rhs)
+        x_i = -Ainvg - AinvB @ x_S
+
+        delta = jnp.zeros((D,), H_loc.dtype).at[l2g].add(a * x_i)
+        delta = jax.lax.psum(delta, axis)
+        delta = delta.at[sh2g].add(b_S * x_S)
+        return delta
+
+    def solve_fn(NE, _unused_g, lam, free_mask):
+        return _solve(NE.H_loc, NE.g_loc, NE.C, NE.g_S, NE.d_S, maps,
+                      free_mask, lam)
+
+    # Cost: residuals only on local measurement shards.
+    @functools.partial(jax.shard_map, mesh=mesh,
+                       in_specs=(P(), arr_specs), out_specs=P())
+    def _cost(params, arrs_l):
+        arrs_l = {f: v.reshape((-1,) + v.shape[3:]) for f, v in arrs_l.items()}
+        p_local = p._replace(**arrs_l)
+        ra, _, _ = se._accel_eval(params, p_local, with_jac=False)
+        rg, _, _ = se._gyro_eval(params, p_local, with_jac=False)
+        rp, _, _ = se._reproj_eval(params, p_local, with_jac=False)
+        c = 0.5 * jnp.sum(ra * ra) + 0.5 * jnp.sum(rg * rg)
+        c = c + robust.huber_cost(rp.reshape(-1), se.HUBER_PX, group_size=2)
+        return jax.lax.psum(c, axis)
+
+    def cost_fn(params):
+        c = _cost(params, arrs)
+        if has_prior:
+            rq = jnp.einsum("pij,pj->pi", p.pt_prior_sqrt_info,
+                            params["points"] - p.pt_prior_mean)
+            c = c + 0.5 * jnp.sum(rq * rq)
+        return c
+
+    return linearize_fn, cost_fn, solve_fn, layout_g, part
+
+
+def optimize_schur(p: se.SplineProblem, params0: dict, mesh: Mesh,
+                   flags: frozenset = se.DEFAULT_FLAGS, max_iters: int = 50,
+                   config: lm.LMConfig | None = None,
+                   obs_chunk: int = 8192, imu_chunk: int = 2048,
+                   axis: str = "data") -> lm.LMResult:
+    """LM with the knot-sharded Schur linear solver (drop-in for
+    sharded.optimize_sharded at larger D)."""
+    lin, cost, solve, layout, _ = make_schur_solver_functions(
+        p, mesh, axis=axis, obs_chunk=obs_chunk, imu_chunk=imu_chunk)
+    mask = layout.free_mask(fixed=se.flags_to_fixed(flags))
+    cfg = config or lm.LMConfig(max_iters=max_iters, ftol=1e-4)
+
+    run = jax.jit(lambda prm: lm.lm_optimize(
+        lin, cost, layout.retract, prm, mask, cfg,
+        solve_fn=lambda NE, g, lam: solve(NE, g, lam, mask),
+        mask_fn=lambda NE, g, _m: (NE, g)))
+    return run(params0)

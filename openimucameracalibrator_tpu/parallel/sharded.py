@@ -33,10 +33,43 @@ from openimucameracalibrator_tpu.core import spline_estimator as se
 from openimucameracalibrator_tpu.solver import lm, robust
 
 # SplineProblem fields sharded along their leading (measurement) axis.
+# obs_pt_id / obs_sqrt_info join when the POINTS block is active.
 _SHARDED_FIELDS = ("accel_t", "accel_meas", "accel_valid",
                    "gyro_t", "gyro_meas", "gyro_valid",
-                   "obs_t", "obs_row", "obs_uv", "obs_pt", "obs_valid")
-_REPLICATED_ARRAY_FIELDS = ("cam_params",)
+                   "obs_t", "obs_row", "obs_uv", "obs_pt", "obs_valid",
+                   "obs_pt_id", "obs_sqrt_info")
+_REPLICATED_ARRAY_FIELDS = ("cam_params", "pt_prior_mean",
+                            "pt_prior_sqrt_info")
+
+
+def _sharded_fields(p: se.SplineProblem):
+    return tuple(f for f in _SHARDED_FIELDS if getattr(p, f) is not None)
+
+
+def _replicated_fields(p: se.SplineProblem):
+    return tuple(f for f in _REPLICATED_ARRAY_FIELDS
+                 if getattr(p, f) is not None)
+
+
+def _add_prior_outside(linearize_fn, cost_fn, p: se.SplineProblem, layout):
+    """Wrap sharded (linearize, cost) to add the board-point prior ONCE,
+    after the cross-device reduction (inside the shard bodies it would be
+    multiplied by the mesh size under psum)."""
+    if p.n_points == 0 or p.pt_prior_sqrt_info is None:
+        return linearize_fn, cost_fn
+
+    def lin(params):
+        H, g, c = linearize_fn(params)
+        rq, Wq, iq = se._point_prior_eval(params, p, layout)
+        H, g = se._scatter(H, g, rq, Wq, iq)
+        return H, g, c + 0.5 * jnp.sum(rq * rq)
+
+    def cost(params):
+        c = cost_fn(params)
+        rq, _, _ = se._point_prior_eval(params, p, layout)
+        return c + 0.5 * jnp.sum(rq * rq)
+
+    return lin, cost
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
@@ -58,26 +91,19 @@ def pad_problem(p: se.SplineProblem, n_shards: int) -> se.SplineProblem:
     """Pad each measurement batch to a multiple of the mesh size; padding
     entries carry valid=False so they contribute exactly zero."""
     upd: Dict = {}
-    upd["accel_t"] = _pad_to_multiple(p.accel_t, n_shards)
-    upd["accel_meas"] = _pad_to_multiple(p.accel_meas, n_shards)
-    upd["accel_valid"] = _pad_to_multiple(p.accel_valid, n_shards, False)
-    upd["gyro_t"] = _pad_to_multiple(p.gyro_t, n_shards)
-    upd["gyro_meas"] = _pad_to_multiple(p.gyro_meas, n_shards)
-    upd["gyro_valid"] = _pad_to_multiple(p.gyro_valid, n_shards, False)
-    upd["obs_t"] = _pad_to_multiple(p.obs_t, n_shards)
-    upd["obs_row"] = _pad_to_multiple(p.obs_row, n_shards)
-    upd["obs_uv"] = _pad_to_multiple(p.obs_uv, n_shards)
-    upd["obs_pt"] = _pad_to_multiple(p.obs_pt, n_shards)
-    upd["obs_valid"] = _pad_to_multiple(p.obs_valid, n_shards, False)
+    for f in _sharded_fields(p):
+        pad_value = False if f.endswith("_valid") else 0
+        upd[f] = _pad_to_multiple(getattr(p, f), n_shards, pad_value)
     return p._replace(**upd)
 
 
 def split_problem(p: se.SplineProblem):
     """(sharded array dict, replicated array dict, static-field dict)."""
-    sharded = {f: getattr(p, f) for f in _SHARDED_FIELDS}
-    repl = {f: getattr(p, f) for f in _REPLICATED_ARRAY_FIELDS}
+    shf, ref = _sharded_fields(p), _replicated_fields(p)
+    sharded = {f: getattr(p, f) for f in shf}
+    repl = {f: getattr(p, f) for f in ref}
     static = {f: getattr(p, f) for f in p._fields
-              if f not in _SHARDED_FIELDS and f not in _REPLICATED_ARRAY_FIELDS}
+              if f not in shf and f not in ref}
     return sharded, repl, static
 
 
@@ -140,10 +166,8 @@ def make_sharded_fast_solver_functions(p: se.SplineProblem, mesh: Mesh,
     n = mesh.shape[axis]
     layout = se.build_layout(p)
 
-    fam_obs, k_obs = _pad_family(
-        dict(obs_t=p.obs_t, obs_row=p.obs_row, obs_uv=p.obs_uv,
-             obs_pt=p.obs_pt, obs_valid=p.obs_valid),
-        "obs_t", "obs_valid", n, obs_chunk)
+    fam_obs, k_obs = _pad_family(se._obs_fields(p), "obs_t", "obs_valid",
+                                 n, obs_chunk)
     fam_acc, k_acc = _pad_family(
         dict(accel_t=p.accel_t, accel_meas=p.accel_meas,
              accel_valid=p.accel_valid), "accel_t", "accel_valid", n, imu_chunk)
@@ -159,7 +183,7 @@ def make_sharded_fast_solver_functions(p: se.SplineProblem, mesh: Mesh,
     plans = (se.ChunkPlan(k_obs, obs_chunk, ws_o, wr_o, dummy, dummy),
              se.ChunkPlan(k_acc, imu_chunk, ws_a, wr_a, dummy, dummy),
              se.ChunkPlan(k_gyr, imu_chunk, ws_g, 0, dummy, dummy))
-    lin_local = se.make_fast_linearizer(p, layout, plans)
+    lin_local = se.make_fast_linearizer(p, layout, plans, include_prior=False)
 
     sh = NamedSharding(mesh, P(axis))
     arrs = {f: jax.device_put(jnp.asarray(v), sh)
@@ -197,7 +221,7 @@ def make_sharded_fast_solver_functions(p: se.SplineProblem, mesh: Mesh,
 
     linearize_fn = lambda params: _linearize(params, arrs, bases)
     cost_fn = lambda params: _cost(params, arrs)
-    return linearize_fn, cost_fn, layout
+    return _add_prior_outside(linearize_fn, cost_fn, p, layout) + (layout,)
 
 
 def make_sharded_solver_functions(p: se.SplineProblem, mesh: Mesh,
@@ -211,8 +235,8 @@ def make_sharded_solver_functions(p: se.SplineProblem, mesh: Mesh,
     layout = se.build_layout(p)
     sharded, repl, static = split_problem(p)
 
-    shard_spec = {f: P(axis) for f in _SHARDED_FIELDS}
-    repl_spec = {f: P() for f in _REPLICATED_ARRAY_FIELDS}
+    shard_spec = {f: P(axis) for f in sharded}
+    repl_spec = {f: P() for f in repl}
 
     # Place the data once according to the specs.
     sharded = {f: jax.device_put(v, NamedSharding(mesh, P(axis)))
@@ -228,7 +252,7 @@ def make_sharded_solver_functions(p: se.SplineProblem, mesh: Mesh,
                        out_specs=(P(), P(), P()))
     def _linearize(params, shard_arrays, repl_arrays):
         p_local = _rebuild(shard_arrays, repl_arrays)
-        lin, _ = se.make_solver_functions(p_local, layout)
+        lin, _ = se.make_solver_functions(p_local, layout, include_prior=False)
         H, g, c = lin(params)
         return jax.lax.psum((H, g, c), axis)
 
@@ -237,12 +261,12 @@ def make_sharded_solver_functions(p: se.SplineProblem, mesh: Mesh,
                        out_specs=P())
     def _cost(params, shard_arrays, repl_arrays):
         p_local = _rebuild(shard_arrays, repl_arrays)
-        _, cost = se.make_solver_functions(p_local, layout)
+        _, cost = se.make_solver_functions(p_local, layout, include_prior=False)
         return jax.lax.psum(cost(params), axis)
 
     linearize_fn = lambda params: _linearize(params, sharded, repl)
     cost_fn = lambda params: _cost(params, sharded, repl)
-    return linearize_fn, cost_fn, layout
+    return _add_prior_outside(linearize_fn, cost_fn, p, layout) + (layout,)
 
 
 def optimize_sharded(p: se.SplineProblem, params0: dict, mesh: Mesh,

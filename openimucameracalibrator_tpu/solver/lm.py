@@ -37,6 +37,19 @@ class LMConfig(NamedTuple):
     lam_max: float = 1e10
     ftol: float = 1e-6
     max_inner: int = 8
+    history_len: int = 64  # static size of the recorded cost trace
+
+
+# Termination statuses (the reference distinguishes Ceres termination
+# types; conflating "trust region exhausted" with "converged" hides
+# divergence on hard problems).
+STATUS_MAX_ITERS = 0  # iteration cap hit while still making progress
+STATUS_CONVERGED = 1  # accepted step with relative decrease < ftol
+STATUS_NO_PROGRESS = 2  # no inner damping retry produced a decrease
+
+STATUS_NAMES = {STATUS_MAX_ITERS: "NO_CONVERGENCE",
+                STATUS_CONVERGED: "CONVERGENCE",
+                STATUS_NO_PROGRESS: "TRUST_REGION_EXHAUSTED"}
 
 
 class LMResult(NamedTuple):
@@ -44,7 +57,12 @@ class LMResult(NamedTuple):
     cost: jax.Array
     iterations: jax.Array
     lam: jax.Array
-    converged: jax.Array
+    converged: jax.Array  # status == STATUS_CONVERGED
+    status: jax.Array = jnp.asarray(STATUS_MAX_ITERS)
+    # cost after each accepted outer iteration, NaN beyond ``iterations``
+    # (observability: the trace is carried through the while_loop and
+    # emitted into the result json — no host callbacks needed).
+    cost_history: jax.Array = jnp.zeros((0,))
 
 
 def _mask_system(H, g, mask):
@@ -59,15 +77,21 @@ def _solve_damped(H, g, lam):
 
     Scaling H to unit diagonal first keeps the factorization well-
     conditioned in float32 on TPU (the damped system becomes Hs + lam*I
-    with diag(Hs) = 1). On failure the solution contains NaN and the LM
-    step is rejected.
+    with diag(Hs) = 1); one step of iterative refinement against the same
+    factorization recovers most of the bits f32 loses at calibration-
+    problem conditioning (precision policy, utils/precision.py; tested in
+    tests/test_precision.py). On failure the solution contains NaN and the
+    LM step is rejected.
     """
     d = jnp.diag(H)
     s = jax.lax.rsqrt(jnp.maximum(d, 1e-12))
     Hs = H * s[:, None] * s[None, :]
     Hd = Hs + lam * jnp.eye(H.shape[0], dtype=H.dtype)
     L, lower = jax.scipy.linalg.cho_factor(Hd, lower=True)
-    y = jax.scipy.linalg.cho_solve((L, lower), -(s * g))
+    b = -(s * g)
+    y = jax.scipy.linalg.cho_solve((L, lower), b)
+    r = Hd @ y - b
+    y = y - jax.scipy.linalg.cho_solve((L, lower), r)
     return s * y
 
 
@@ -78,19 +102,33 @@ def lm_optimize(
     params0: dict,
     free_mask: jax.Array,
     config: LMConfig = LMConfig(),
+    *,
+    solve_fn: Callable | None = None,
+    mask_fn: Callable | None = None,
 ) -> LMResult:
-    """Run LM. All callables must be jit-traceable; params are a pytree."""
+    """Run LM. All callables must be jit-traceable; params are a pytree.
+
+    The normal equations are pluggable end to end: ``linearize_fn(params)
+    -> (H, g, cost)`` where (H, g) may be ANY pytree as long as the
+    matching ``mask_fn(H, g, free_mask) -> (H, g)`` and ``solve_fn(H, g,
+    lam) -> delta (D,)`` understand it. Defaults implement the dense path
+    (D x D Hessian, Jacobi-equilibrated damped Cholesky); the knot-sharded
+    distributed Schur solver (parallel/schur.py) supplies its own pair and
+    never materializes the full Hessian on any device.
+    """
 
     cfg = config
+    mask_fn = mask_fn or (lambda H, g, m: _mask_system(H, g, m.astype(g.dtype)))
+    solve_fn = solve_fn or _solve_damped
 
     def outer_cond(state):
-        params, cost, lam, it, converged = state
-        return (it < cfg.max_iters) & (~converged)
+        params, cost, lam, it, status, hist = state
+        return (it < cfg.max_iters) & (status == STATUS_MAX_ITERS)
 
     def outer_body(state):
-        params, cost, lam, it, _ = state
+        params, cost, lam, it, _, hist = state
         H, g, cost_lin = linearize_fn(params)
-        H, g = _mask_system(H, g, free_mask.astype(H.dtype))
+        H, g = mask_fn(H, g, free_mask)
 
         def inner_cond(s):
             _, _, _, accepted, tries = s
@@ -98,7 +136,7 @@ def lm_optimize(
 
         def inner_body(s):
             best_params, best_cost, lam_i, _, tries = s
-            delta = _solve_damped(H, g, lam_i) * free_mask.astype(H.dtype)
+            delta = solve_fn(H, g, lam_i) * free_mask.astype(cost_lin.dtype)
             cand = retract_fn(params, delta)
             cand_cost = cost_fn(cand)
             good = jnp.isfinite(cand_cost) & (cand_cost < cost_lin)
@@ -115,16 +153,21 @@ def lm_optimize(
             inner_cond, inner_body, init)
 
         rel_decrease = (cost_lin - new_cost) / jnp.maximum(cost_lin, 1e-20)
-        converged = accepted & (rel_decrease < cfg.ftol)
-        # If no inner try succeeded, stop (trust region exhausted).
-        converged = converged | (~accepted)
-        return new_params, new_cost, new_lam, it + 1, converged
+        status = jnp.where(
+            accepted & (rel_decrease < cfg.ftol), STATUS_CONVERGED,
+            jnp.where(accepted, STATUS_MAX_ITERS, STATUS_NO_PROGRESS))
+        hist = hist.at[jnp.minimum(it, cfg.history_len - 1)].set(new_cost)
+        return new_params, new_cost, new_lam, it + 1, status, hist
 
     cost0 = cost_fn(params0)
     lam = jnp.asarray(cfg.lam0, dtype=cost0.dtype)
-    state = (params0, cost0, lam, jnp.asarray(0), jnp.asarray(False))
-    params, cost, lam, it, converged = jax.lax.while_loop(outer_cond, outer_body, state)
-    return LMResult(params, cost, it, lam, converged)
+    hist0 = jnp.full((cfg.history_len,), jnp.nan, dtype=cost0.dtype)
+    state = (params0, cost0, lam, jnp.asarray(0), jnp.asarray(STATUS_MAX_ITERS),
+             hist0)
+    params, cost, lam, it, status, hist = jax.lax.while_loop(
+        outer_cond, outer_body, state)
+    return LMResult(params, cost, it, lam, status == STATUS_CONVERGED,
+                    status, hist)
 
 
 def make_dense_linearizer(residual_fn: Callable, layout, weight_fn: Callable | None = None):

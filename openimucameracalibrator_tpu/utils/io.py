@@ -197,6 +197,13 @@ def save_imu_camera_result(result, path: str):
         "iterations": result.iterations,
         "final_cost": result.final_cost,
     }
+    if getattr(result, "solver_status", ""):
+        obj["solver_status"] = result.solver_status
+    if getattr(result, "cost_history", None) is not None:
+        obj["cost_history"] = [float(c) for c in result.cost_history]
+    if getattr(result, "per_view_rmse", None) is not None:
+        obj["per_view_rmse"] = [None if np.isnan(v) else round(float(v), 5)
+                                for v in result.per_view_rmse]
     with open(path, "w") as f:
         json.dump(obj, f, indent=1)
 

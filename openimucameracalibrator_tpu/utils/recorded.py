@@ -31,6 +31,7 @@ from openimucameracalibrator_tpu.models import boards as boards_mod
 from openimucameracalibrator_tpu.models import cameras
 from openimucameracalibrator_tpu.ops import lie
 from openimucameracalibrator_tpu.utils import mp4_writer, synthetic
+from openimucameracalibrator_tpu.utils import precision
 
 
 @dataclasses.dataclass(frozen=True)
@@ -113,9 +114,9 @@ def render_frames(pose_fn, frame_stamp_times, model_name: str, cam_params,
     recovered by the batch solver, spline_trajectory_estimator.impl.h:344-346).
     """
     W, H = image_size
-    cam_params = jnp.asarray(cam_params, jnp.float64)
-    q_i_c = jnp.asarray(q_i_c, jnp.float64)
-    t_i_c = jnp.asarray(t_i_c, jnp.float64)
+    cam_params = jnp.asarray(cam_params, precision.default_dtype())
+    q_i_c = jnp.asarray(q_i_c, precision.default_dtype())
+    t_i_c = jnp.asarray(t_i_c, precision.default_dtype())
     tex_img = jnp.asarray(tex.image)
     tex_scale = tex.px_per_square / tex.square_length
     tex_offset = tex.margin_px - 0.5
@@ -125,7 +126,7 @@ def render_frames(pose_fn, frame_stamp_times, model_name: str, cam_params,
         qi, pi = pose_fn(t)
         return lie.se3_compose(qi, pi, q_i_c, t_i_c)
 
-    rows = jnp.arange(H, dtype=jnp.float64)
+    rows = jnp.arange(H, dtype=precision.default_dtype())
     pose_rows = jax.jit(jax.vmap(cam_pose_at))
     frames = []
     for t_stamp in np.asarray(frame_stamp_times, np.float64):
@@ -191,7 +192,7 @@ def make_recording(outdir: str, *, model_name: str = "division_undistortion",
     cam_params = np.asarray(cam_params, np.float64)
 
     q_i_c = np.asarray(lie.so3_exp(jnp.array([0.03, -0.02, np.pi / 2],
-                                             dtype=jnp.float64)))
+                                             dtype=precision.default_dtype())))
     t_i_c = np.asarray([0.01, -0.02, 0.001])
     tex = charuco_texture(squares_x, squares_y, square_length, marker_length)
 
@@ -235,13 +236,13 @@ def make_recording(outdir: str, *, model_name: str = "division_undistortion",
     tt = jnp.asarray(imu_times)
     q, p, omega, vel, acc = jax.vmap(
         lambda t: synthetic.pose_derivatives(pose_imu, t))(tt)
-    g_w = jnp.array([0.0, 0.0, synthetic.GRAVITY], dtype=jnp.float64)
+    g_w = jnp.array([0.0, 0.0, synthetic.GRAVITY], dtype=precision.default_dtype())
     f_b = lie.quat_rotate(lie.quat_conjugate(q), acc + g_w)
     k1, k2 = jax.random.split(jax.random.PRNGKey(seed + 3))
     accel = np.asarray(f_b + jnp.asarray(accel_bias)
-                       + accel_noise * jax.random.normal(k1, f_b.shape, jnp.float64))
+                       + accel_noise * jax.random.normal(k1, f_b.shape, precision.default_dtype()))
     gyro = np.asarray(omega + jnp.asarray(gyro_bias)
-                      + gyro_noise * jax.random.normal(k2, omega.shape, jnp.float64))
+                      + gyro_noise * jax.random.normal(k2, omega.shape, precision.default_dtype()))
     payloads, dur = mp4_writer.make_imu_payloads(
         imu_times, accel, gyro, cam_quats=np.asarray(q), cam_quat_times=imu_times)
     ic_path = os.path.join(outdir, "imu_cam.MP4")

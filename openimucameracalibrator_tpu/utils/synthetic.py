@@ -23,6 +23,7 @@ import numpy as np
 from openimucameracalibrator_tpu.models import boards as boards_mod
 from openimucameracalibrator_tpu.models.cameras import CameraModel
 from openimucameracalibrator_tpu.ops import lie
+from openimucameracalibrator_tpu.utils import precision
 
 GRAVITY = 9.81
 
@@ -43,20 +44,20 @@ def sinusoid_trajectory(key: jax.Array, duration: float,
     needs (utils/recorded.py). Returns a scalar-time callable.
     """
     k1, k2, k3, k4 = jax.random.split(key, 4)
-    freqs = base_freq * (1.0 + jnp.arange(n_harmonics, dtype=jnp.float64))
-    amp_p = pos_amp * jax.random.uniform(k1, (n_harmonics, 3), jnp.float64, -1.0, 1.0) / (1.0 + jnp.arange(n_harmonics, dtype=jnp.float64))[:, None]
-    phase_p = jax.random.uniform(k2, (n_harmonics, 3), jnp.float64, 0.0, 2 * np.pi)
-    amp_r = rot_amp * jax.random.uniform(k3, (n_harmonics, 3), jnp.float64, -1.0, 1.0) / (1.0 + jnp.arange(n_harmonics, dtype=jnp.float64))[:, None]
-    phase_r = jax.random.uniform(k4, (n_harmonics, 3), jnp.float64, 0.0, 2 * np.pi)
-    center = jnp.asarray(pos_center, jnp.float64)
+    freqs = base_freq * (1.0 + jnp.arange(n_harmonics, dtype=precision.default_dtype()))
+    amp_p = pos_amp * jax.random.uniform(k1, (n_harmonics, 3), precision.default_dtype(), -1.0, 1.0) / (1.0 + jnp.arange(n_harmonics, dtype=precision.default_dtype()))[:, None]
+    phase_p = jax.random.uniform(k2, (n_harmonics, 3), precision.default_dtype(), 0.0, 2 * np.pi)
+    amp_r = rot_amp * jax.random.uniform(k3, (n_harmonics, 3), precision.default_dtype(), -1.0, 1.0) / (1.0 + jnp.arange(n_harmonics, dtype=precision.default_dtype()))[:, None]
+    phase_r = jax.random.uniform(k4, (n_harmonics, 3), precision.default_dtype(), 0.0, 2 * np.pi)
+    center = jnp.asarray(pos_center, precision.default_dtype())
     if q_base is None:
         # Base orientation: camera/body z-axis pointing toward the board
         # (world -z direction): rotate pi about the x axis.
-        q_base = lie.so3_exp(jnp.array([np.pi, 0.0, 0.0], dtype=jnp.float64))
-    q_base = jnp.asarray(q_base, jnp.float64)
+        q_base = lie.so3_exp(jnp.array([np.pi, 0.0, 0.0], dtype=precision.default_dtype()))
+    q_base = jnp.asarray(q_base, precision.default_dtype())
 
     def pose(t):
-        t = jnp.asarray(t, jnp.float64)
+        t = jnp.asarray(t, precision.default_dtype())
         ph = 2 * np.pi * freqs * t
         p = center + jnp.sum(amp_p * jnp.sin(ph[:, None] + phase_p), axis=0)
         r = jnp.sum(amp_r * jnp.sin(ph[:, None] + phase_r), axis=0)
@@ -130,7 +131,7 @@ def make_intrinsics_scene(model: CameraModel, cam_params, *, num_views: int = 40
     qs, ps = jax.vmap(lambda t: pose_fn(jnp.asarray(t)))(jnp.asarray(times))
     pts = jnp.asarray(board.points)
     uv, valid = jax.vmap(lambda q, p: render_view(model, cam_params, pts, q, p, image_size))(qs, ps)
-    noise = jax.random.normal(jax.random.PRNGKey(seed + 1), uv.shape, jnp.float64) * noise_px
+    noise = jax.random.normal(jax.random.PRNGKey(seed + 1), uv.shape, precision.default_dtype()) * noise_px
     return SyntheticScene(
         board=board, cam_params=jnp.asarray(cam_params), model=model,
         image_size=image_size, frame_times=np.asarray(times),
@@ -161,10 +162,10 @@ def make_imu_camera_scene(model: CameraModel, cam_params, *, duration: float = 2
     board = board or boards_mod.charuco_board()
     if q_i_c is None:
         # GoPro-like: camera rotated ~90 deg about z relative to IMU.
-        q_i_c = np.asarray(lie.so3_exp(jnp.array([0.03, -0.02, np.pi / 2], dtype=jnp.float64)))
-    q_i_c = jnp.asarray(q_i_c, jnp.float64)
-    t_i_c = jnp.asarray(t_i_c, jnp.float64)
-    g_w = jnp.array([0.0, 0.0, GRAVITY], dtype=jnp.float64)  # reference conv: residual uses a_w + g
+        q_i_c = np.asarray(lie.so3_exp(jnp.array([0.03, -0.02, np.pi / 2], dtype=precision.default_dtype())))
+    q_i_c = jnp.asarray(q_i_c, precision.default_dtype())
+    t_i_c = jnp.asarray(t_i_c, precision.default_dtype())
+    g_w = jnp.array([0.0, 0.0, GRAVITY], dtype=precision.default_dtype())  # reference conv: residual uses a_w + g
 
     key = jax.random.PRNGKey(seed)
     pose_fn = sinusoid_trajectory(key, duration, rot_amp=0.3, pos_amp=0.18)
@@ -177,8 +178,8 @@ def make_imu_camera_scene(model: CameraModel, cam_params, *, duration: float = 2
     # ceres_calib_split_residuals.h:52-93)
     f_b = lie.quat_rotate(lie.quat_conjugate(q), acc + g_w)
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed + 2), 3)
-    accel = f_b + jnp.asarray(accel_bias) + accel_noise * jax.random.normal(k1, f_b.shape, jnp.float64)
-    gyro = omega + jnp.asarray(gyro_bias) + gyro_noise * jax.random.normal(k2, omega.shape, jnp.float64)
+    accel = f_b + jnp.asarray(accel_bias) + accel_noise * jax.random.normal(k1, f_b.shape, precision.default_dtype())
+    gyro = omega + jnp.asarray(gyro_bias) + gyro_noise * jax.random.normal(k2, omega.shape, precision.default_dtype())
 
     # --- camera frames ---
     n_frames = int(duration * cam_fps) - 2
@@ -211,7 +212,7 @@ def make_imu_camera_scene(model: CameraModel, cam_params, *, duration: float = 2
     else:
         uv, valid = jax.vmap(lambda qq, tt_: render_view(model, cam_params, pts, qq, tt_, image_size))(q_wc, t_wc)
 
-    noise = noise_px * jax.random.normal(k3, uv.shape, jnp.float64)
+    noise = noise_px * jax.random.normal(k3, uv.shape, precision.default_dtype())
     return SyntheticScene(
         board=board, cam_params=jnp.asarray(cam_params), model=model,
         image_size=image_size,

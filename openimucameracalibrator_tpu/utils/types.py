@@ -50,12 +50,22 @@ class ImuData:
 
 
 @dataclasses.dataclass
+class GPSData:
+    """GPS track (GPXData, utils/types.h:67-77)."""
+
+    times: np.ndarray  # (N,) seconds, telemetry clock
+    llh: np.ndarray  # (N, 3) latitude deg, longitude deg, altitude m
+    precision: np.ndarray | None = None  # GPS5 dilution of precision
+    vel3d: np.ndarray | None = None  # (N,) 3D speed m/s
+
+
+@dataclasses.dataclass
 class CameraTelemetry:
     """Full telemetry of one recording (utils/types.h:123-131)."""
 
     imu: ImuData
     img_times: np.ndarray | None = None  # (V,) seconds
-    gps: np.ndarray | None = None
+    gps: GPSData | None = None
     cam_quats: np.ndarray | None = None  # e.g. GoPro CORI, (V, 4) wxyz
 
 

@@ -152,3 +152,44 @@ def test_read_gopro_mp4_missing_streams(tmp_path):
 def test_gpmf_open_missing_file():
     with pytest.raises(FileNotFoundError):
         gpmf.GpmfFile("/nonexistent/file.mp4")
+
+
+def test_read_gopro_mp4_gps(tmp_path):
+    """GPS5 (+GPSP) streams populate CameraTelemetry.gps (reference
+    python/telemetry_converter.py:346-385)."""
+    from openimucameracalibrator_tpu.utils import mp4_writer
+
+    hz, gps_hz, dur = 200, 10, 2
+    t = np.arange(hz * dur) / hz
+    accel = np.tile([0.0, 0.0, 9.81], (len(t), 1))
+    gyro = np.zeros((len(t), 3))
+    tg = np.arange(gps_hz * dur) / gps_hz
+    llh = np.stack([48.1 + 1e-5 * tg, 11.5 + 2e-5 * tg, 520 + 0.1 * tg], -1)
+    gps5 = np.concatenate([llh, np.full((len(tg), 1), 1.5),
+                           np.full((len(tg), 1), 1.7)], -1)
+    gpsp = np.full((len(tg), 1), 180.0)  # DOP*100 pre-scale convention
+
+    payloads = []
+    for k in range(dur):
+        sel = (t >= k) & (t < k + 1)
+        selg = (tg >= k) & (tg < k + 1)
+        payloads.append(mp4_writer.gpmf_payload([
+            ("ACCL", "Accelerometer", accel[sel][:, [2, 0, 1]]),
+            ("GYRO", "Gyroscope", gyro[sel][:, [2, 0, 1]]),
+            ("GPS5", "GPS", gps5[selg]),
+            ("GPSP", "GPS precision", gpsp[selg]),
+        ]))
+    frame = mp4_writer.encode_jpeg(np.zeros((16, 16), np.uint8))
+    path = str(tmp_path / "gps.mp4")
+    mp4_writer.write_mp4(path, [frame] * (30 * dur), 16, 16, 30.0,
+                         payloads, payload_duration_s=1.0)
+
+    tel = gpmf.read_gopro_mp4(path)
+    assert tel.gps is not None
+    assert tel.gps.llh.shape == (len(tg), 3)
+    np.testing.assert_allclose(tel.gps.llh, llh, atol=1e-4)
+    np.testing.assert_allclose(tel.gps.vel3d, 1.7, atol=1e-5)
+    assert tel.gps.precision is not None
+    np.testing.assert_allclose(tel.gps.precision, 180.0, atol=1e-3)
+    np.testing.assert_allclose(tel.gps.times[1] - tel.gps.times[0],
+                               1.0 / gps_hz, atol=1e-9)

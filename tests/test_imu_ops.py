@@ -98,3 +98,36 @@ def test_static_bias_estimation(rng):
     ba, bg = sew.estimate_static_biases(imu)
     np.testing.assert_allclose(ba, bias_a, atol=2e-3)
     np.testing.assert_allclose(bg, bias_g, atol=2e-4)
+
+
+def test_static_bias_dynamic_recording_guard(rng):
+    """A dynamic recording has no static interval: biases fall back to
+    zero with a warning instead of absorbing motion means (VERDICT r1)."""
+    import warnings
+    rate, n = 100.0, 2000
+    t = np.arange(n) / rate
+    gyro = 0.5 * np.stack([np.sin(2 * np.pi * 1.1 * t)] * 3, -1)
+    accel = np.tile([0, 0, 9.81], (n, 1)) + 2.0 * np.stack(
+        [np.cos(2 * np.pi * 0.7 * t)] * 3, -1)
+    imu = ImuData(times=t, accel=accel, gyro=gyro)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        ba, bg = sew.estimate_static_biases(imu)
+    assert np.all(ba == 0) and np.all(bg == 0)
+    assert any("static" in str(w.message) for w in rec)
+
+
+def test_static_bias_uses_static_segment(rng):
+    """Mixed recording: the estimate must come from the static span only."""
+    rate = 100.0
+    bias_g = np.array([0.01, -0.004, 0.006])
+    t = np.arange(4000) / rate
+    gyro = np.tile(bias_g, (4000, 1)) + rng.normal(size=(4000, 3)) * 0.002
+    # First half spins; second half is static.
+    gyro[:2000] += 0.6 * np.sin(2 * np.pi * 1.3 * t[:2000])[:, None]
+    accel = np.tile([0, 0, 9.81], (4000, 1)) + rng.normal(size=(4000, 3)) * 0.01
+    accel[:2000, 0] += 3.0 * np.sin(2 * np.pi * 0.9 * t[:2000])
+    imu = ImuData(times=t, accel=accel, gyro=gyro)
+    ba, bg = sew.estimate_static_biases(imu)
+    np.testing.assert_allclose(bg, bias_g, atol=5e-4)
+    assert np.all(np.abs(ba) < 5e-3)

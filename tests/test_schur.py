@@ -1,0 +1,149 @@
+"""Knot-sharded distributed Schur solver vs the replicated dense path.
+
+VERDICT r1 item 3: (i) numerical equality with the replicated path,
+(ii) per-device Hessian memory proportional to D/n_devices."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openimucameracalibrator_tpu.core import spline_estimator as se
+from openimucameracalibrator_tpu.parallel import schur, sharded
+from openimucameracalibrator_tpu.solver import lm
+
+from test_sharded import small_problem  # noqa: F401  (module fixture)
+
+
+def _dense_reference(p, params0):
+    layout = se.build_layout(p)
+    lin, cost = se.make_solver_functions(p, layout)
+    return layout, lin, cost
+
+
+def test_schur_partition_invariants(small_problem):  # noqa: F811
+    p, params0 = small_problem
+    mesh = sharded.make_mesh(8)
+    _, _, _, layout, part = schur.make_schur_solver_functions(
+        p, mesh, obs_chunk=128, imu_chunk=32)
+    D = layout.tangent_dim
+    # Every global coord is claimed interior by at most one device, and
+    # interiors + separators cover the whole tangent space.
+    claimed = np.zeros(D, np.int32)
+    for d in range(part.n):
+        sel = part.int_mask[d] > 0
+        np.add.at(claimed, part.loc2glob[d][sel], 1)
+    assert claimed.max() <= 1
+    covered = set(part.shared2glob.tolist())
+    covered.update(np.flatnonzero(claimed).tolist())
+    # Uncovered coords must be untouched knots (zero rows): allowed.
+    assert len(covered) >= D - 6 * (se.ORDER + 4)
+    assert part.m < D
+
+
+def _fabricated_problem(duration=40.0, fps=30.0, imu_rate=100.0, n_pts=40):
+    """Times-only synthetic SplineProblem at recording scale: the knot
+    partition is a host-side function of timestamps, so measurement
+    values can be arbitrary."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0)
+    dt = 0.05
+    n_knots = int(np.ceil(duration / dt)) + se.ORDER - 1
+    ft = np.arange(0.0, duration, 1.0 / fps)
+    it = np.arange(0.0, duration, 1.0 / imu_rate)
+    mo = len(ft) * n_pts
+    return se.SplineProblem(
+        t0=0.0, dt_so3=dt, dt_r3=dt, dt_bias=10.0, n_so3=n_knots,
+        n_r3=n_knots, n_bias=int(np.ceil(duration / 10.0)) + se.BIAS_ORDER - 1,
+        accel_t=jnp.asarray(it), accel_meas=jnp.zeros((len(it), 3)),
+        accel_valid=jnp.ones(len(it), bool), w_accel=50.0,
+        gyro_t=jnp.asarray(it), gyro_meas=jnp.zeros((len(it), 3)),
+        gyro_valid=jnp.ones(len(it), bool), w_gyro=500.0,
+        obs_t=jnp.asarray(np.repeat(ft, n_pts)),
+        obs_row=jnp.zeros(mo), obs_uv=jnp.zeros((mo, 2)),
+        obs_pt=jnp.asarray(rng.uniform(0, 0.3, (mo, 3))),
+        obs_valid=jnp.ones(mo, bool),
+        cam_params=jnp.asarray([437.0, 437.0, 480.0, 270.0]),
+        model_name="pinhole", rolling_shutter=False)
+
+
+def test_schur_partition_memory_scales():
+    """At recording scale the per-device Hessian shrinks ~linearly with
+    the mesh: memory O((D/n + S)^2) instead of O(D^2) (VERDICT r1 #3)."""
+    p = _fabricated_problem()
+    D = se.build_layout(p).tangent_dim
+    ms = {}
+    for n in (2, 4, 8):
+        mesh = sharded.make_mesh(n)
+        _, _, _, _, part = schur.make_schur_solver_functions(
+            p, mesh, obs_chunk=2048, imu_chunk=512)
+        ms[n] = part.m
+        # Local dim ~ knot share + separators + margins.
+        assert part.m <= (D - part.S) / n + part.S + 8 * se.ORDER * 3, (n, part)
+    assert ms[8] < 0.6 * ms[2], ms
+    assert ms[8] < 0.30 * D, (ms, D)
+
+
+def test_schur_solve_matches_dense(small_problem):  # noqa: F811
+    """One linearize + damped solve: the distributed Schur step must equal
+    the dense Jacobi-equilibrated Cholesky step."""
+    p, params0 = small_problem
+    layout, lin_d, _ = _dense_reference(p, params0)
+    H0, g0, c0 = lin_d(params0)
+    mask = layout.free_mask(fixed=se.flags_to_fixed(se.DEFAULT_FLAGS))
+    Hm, gm = lm._mask_system(H0, g0, mask.astype(H0.dtype))
+
+    mesh = sharded.make_mesh(8)
+    lin_s, cost_s, solve_s, layout_s, part = schur.make_schur_solver_functions(
+        p, mesh, obs_chunk=128, imu_chunk=32)
+    NE, _, c1 = lin_s(params0)
+    np.testing.assert_allclose(float(c1), float(c0), rtol=1e-10)
+
+    for lam in (1e-4, 1e-1, 10.0):
+        d_dense = np.asarray(lm._solve_damped(Hm, gm, lam)
+                             * mask.astype(H0.dtype))
+        d_schur = np.asarray(solve_s(NE, None, lam, mask))
+        scale = max(np.abs(d_dense).max(), 1e-12)
+        np.testing.assert_allclose(d_schur, d_dense, rtol=2e-6,
+                                   atol=1e-9 * scale)
+
+
+def test_schur_lm_matches_single_device(small_problem):  # noqa: F811
+    p, params0 = small_problem
+    flags = frozenset({se.SPLINE, se.T_I_C, se.IMU_BIASES, se.GRAVITY_DIR})
+    res_single = se.optimize(p, params0, flags, max_iters=3)
+    mesh = sharded.make_mesh(8)
+    res_schur = schur.optimize_schur(p, params0, mesh, flags, max_iters=3,
+                                     obs_chunk=128, imu_chunk=32)
+    np.testing.assert_allclose(float(res_schur.cost), float(res_single.cost),
+                               rtol=1e-6)
+    for k in res_single.params:
+        np.testing.assert_allclose(np.asarray(res_schur.params[k]),
+                                   np.asarray(res_single.params[k]),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_schur_with_points_prior(small_problem):  # noqa: F811
+    """POINTS block + prior live in the separator tail; the Schur NE must
+    still match the dense system."""
+    p, params0 = small_problem
+    pe = se.enable_board_points(p, point_prior_std=1e-3)
+    params = dict(params0, points=jnp.asarray(pe.pt_prior_mean))
+    layout = se.build_layout(pe)
+    lin_d, cost_d = se.make_solver_functions(pe, layout)
+    H0, g0, c0 = lin_d(params)
+    flags = frozenset(se.DEFAULT_FLAGS | {se.POINTS})
+    mask = layout.free_mask(fixed=se.flags_to_fixed(flags))
+    Hm, gm = lm._mask_system(H0, g0, mask.astype(H0.dtype))
+
+    mesh = sharded.make_mesh(8)
+    lin_s, cost_s, solve_s, _, _ = schur.make_schur_solver_functions(
+        pe, mesh, obs_chunk=128, imu_chunk=32)
+    NE, _, c1 = lin_s(params)
+    np.testing.assert_allclose(float(c1), float(c0), rtol=1e-10)
+    np.testing.assert_allclose(float(cost_s(params)), float(cost_d(params)),
+                               rtol=1e-10)
+    d_dense = np.asarray(lm._solve_damped(Hm, gm, 1e-3) * mask.astype(H0.dtype))
+    d_schur = np.asarray(solve_s(NE, None, 1e-3, mask))
+    scale = max(np.abs(d_dense).max(), 1e-12)
+    np.testing.assert_allclose(d_schur, d_dense, rtol=2e-6, atol=1e-9 * scale)
