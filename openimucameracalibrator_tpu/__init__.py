@@ -18,4 +18,36 @@ measurement touches a fixed window of knots) that shard over a
 
 __version__ = "0.1.0"
 
+
+def _enable_persistent_jit_cache():
+    """Point JAX's persistent compilation cache at a per-user directory.
+
+    The continuous-time batch problem compiles multi-minute XLA programs;
+    caching them across processes turns every rerun of the CLI pipeline /
+    bench into a warm start. Opt out with
+    ``OICC_TPU_DISABLE_JIT_CACHE=1`` or by setting your own
+    ``jax_compilation_cache_dir`` first (we never override one).
+    (jax 0.9.0 ignores the JAX_COMPILATION_CACHE_DIR env var, so this must
+    be a config update.)
+    """
+    import os
+
+    if os.environ.get("OICC_TPU_DISABLE_JIT_CACHE"):
+        return
+    import jax
+
+    if jax.config.jax_compilation_cache_dir:
+        return
+    cache = os.path.join(os.path.expanduser("~"), ".cache",
+                         "openimucameracalibrator_tpu", "jax_cache")
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except (OSError, AttributeError):  # read-only home / older jax: skip
+        pass
+
+
+_enable_persistent_jit_cache()
+
 from openimucameracalibrator_tpu import ops, models, solver, core, parallel, utils  # noqa: F401

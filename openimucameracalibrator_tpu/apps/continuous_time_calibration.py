@@ -32,6 +32,13 @@ def build_parser(p: argparse.ArgumentParser | None = None):
     p.add_argument("--line_delay_iters", type=int, default=10)
     p.add_argument("--no_time_offset_refinement", action="store_true",
                    help="reference-parity mode: freeze the init offset")
+    p.add_argument("--profile_trace_dir", default="",
+                   help="write a jax.profiler trace of the batch "
+                        "optimization to this directory (view in "
+                        "TensorBoard/XProf)")
+    p.add_argument("--solver_checkpoint_dir", default="",
+                   help="snapshot the solution after every LM stage and "
+                        "resume from completed stages on rerun")
     return p
 
 
@@ -67,14 +74,23 @@ def run(args) -> str:
     if args.imu_intrinsics_json:
         accl_intr, gyro_intr = io.load_imu_intrinsics(args.imu_intrinsics_json)
 
-    result = imu_camera_calibrator.calibrate_imu_camera(
-        corners, calib, poses, tel.imu, init, sew,
-        rolling_shutter=not args.global_shutter,
-        accel_bias0=accel_bias0, gyro_bias0=gyro_bias0,
-        accl_intrinsics=accl_intr, gyro_intrinsics=gyro_intr,
-        optimize_imu_intrinsics=args.optimize_imu_intrinsics,
-        refine_time_offset=not args.no_time_offset_refinement,
-        max_iters=args.max_iters, line_delay_iters=args.line_delay_iters)
+    import contextlib
+
+    import jax
+
+    trace_ctx = (jax.profiler.trace(args.profile_trace_dir)
+                 if getattr(args, "profile_trace_dir", "")
+                 else contextlib.nullcontext())
+    with trace_ctx:
+        result = imu_camera_calibrator.calibrate_imu_camera(
+            corners, calib, poses, tel.imu, init, sew,
+            rolling_shutter=not args.global_shutter,
+            accel_bias0=accel_bias0, gyro_bias0=gyro_bias0,
+            accl_intrinsics=accl_intr, gyro_intrinsics=gyro_intr,
+            optimize_imu_intrinsics=args.optimize_imu_intrinsics,
+            refine_time_offset=not args.no_time_offset_refinement,
+            max_iters=args.max_iters, line_delay_iters=args.line_delay_iters,
+            checkpoint_dir=getattr(args, "solver_checkpoint_dir", "") or None)
     io.save_imu_camera_result(result, args.output_path)
     print(f"final reproj error: {result.mean_reproj_error:.4f}px, "
           f"time offset {result.time_offset:+.4f}s, "

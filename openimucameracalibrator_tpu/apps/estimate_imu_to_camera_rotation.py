@@ -16,6 +16,9 @@ def build_parser(p: argparse.ArgumentParser | None = None):
     p.add_argument("--input_pose_dataset", required=True, help="pose .npz")
     p.add_argument("--imu_rotation_init_output", required=True, help="output json")
     p.add_argument("--search_range_s", type=float, default=1.0)
+    p.add_argument("--debug_dump", action="store_true",
+                   help="store visual vs transformed-gyro angular velocities "
+                        "in the output json (for misc_tools debug-calib)")
     return p
 
 
@@ -35,6 +38,10 @@ def run(args) -> str:
         "time_offset_gyro_to_cam": init.time_offset,
         "gyro_bias": {k: float(v) for k, v in zip("xyz", init.gyro_bias)},
     }
+    if getattr(args, "debug_dump", False):
+        out["debug_visual_ang_vel"] = init.debug_visual_ang_vel.tolist()
+        out["debug_imu_ang_vel_transformed"] = \
+            init.debug_imu_ang_vel_transformed.tolist()
     with open(args.imu_rotation_init_output, "w") as f:
         json.dump(out, f, indent=1)
     print(f"time_offset={init.time_offset:+.4f}s -> {args.imu_rotation_init_output}")

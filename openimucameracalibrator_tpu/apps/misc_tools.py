@@ -137,3 +137,60 @@ def board_main(argv=None):
     img = board_extractor.render_charuco_board_image(opts, args.px_per_square)
     board_extractor.save_image(args.output_path, img)
     print(f"board image -> {args.output_path}")
+
+
+def extract_frames_main(argv=None):
+    """Dump video frames to an image folder (reference
+    python/extract_frames_from_video.py + python/utils.py:111-137)."""
+    import os
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--path_to_videofile", required=True)
+    p.add_argument("--path_to_image_output", required=True)
+    p.add_argument("--resize_factor", type=float, default=1.0)
+    args = p.parse_args(argv)
+
+    from openimucameracalibrator_tpu.core import board_extractor
+
+    os.makedirs(args.path_to_image_output, exist_ok=True)
+    n = 0
+    for t_s, img in board_extractor.iter_video_frames(
+            args.path_to_videofile, downsample=1.0 / args.resize_factor):
+        out = os.path.join(args.path_to_image_output, f"{int(t_s * 1e6):012d}.png")
+        board_extractor.save_image(out, img)
+        n += 1
+    print(f"{n} frames -> {args.path_to_image_output}")
+
+
+def debug_calib_main(argv=None):
+    """Plot visual vs transformed-gyro angular velocities from the rotation
+    initializer's debug dump (reference python/debug_calib.py, generalized:
+    reads the result json instead of hard-coded txt paths)."""
+    p = argparse.ArgumentParser()
+    p.add_argument("--rotation_init_json", required=True,
+                   help="output of estimate-imu-to-camera-rotation")
+    p.add_argument("--output_png", default="")
+    args = p.parse_args(argv)
+
+    import numpy as np
+
+    with open(args.rotation_init_json) as f:
+        data = json.load(f)
+    vis = np.asarray(data.get("debug_visual_ang_vel", []))
+    imu = np.asarray(data.get("debug_imu_ang_vel_transformed", []))
+    if vis.size == 0 or imu.size == 0:
+        print("no debug angular-velocity dump in json "
+              "(rerun with --debug_dump)")
+        return
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    fig, axes = plt.subplots(3, 1, figsize=(10, 8), sharex=True)
+    for c, ax in enumerate(axes):
+        ax.plot(vis[:, c], "g", label="visual")
+        ax.plot(imu[:, c], "b--", label="gyro (R applied)")
+        ax.set_ylabel(f"w[{c}] rad/s")
+    axes[0].legend()
+    out = args.output_png or args.rotation_init_json + ".png"
+    fig.savefig(out, dpi=120)
+    print(f"plot -> {out}")

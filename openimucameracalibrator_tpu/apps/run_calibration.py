@@ -204,7 +204,10 @@ def run(args) -> dict:
         # empirical covariances of stage 5 (pose_estimator.cc:193-224).
         optimize_board_points=args.optimize_board_points,
         board_point_cov=pt_info["point_cov"] if pt_info else None,
-        reproj_cov=pt_info["reproj_cov"] if pt_info else None)
+        reproj_cov=pt_info["reproj_cov"] if pt_info else None,
+        # Solver-state checkpoints live next to the stage artifacts, so an
+        # interrupted batch stage resumes mid-schedule (SURVEY.md §5).
+        checkpoint_dir=os.path.join(ws, "solver_ckpt") if ws else None)
     if ws:
         io.save_imu_camera_result(result, os.path.join(ws, "imu_cam_result.json"))
 

@@ -115,8 +115,20 @@ def mean_reproj_error(params, obs, valid, model_name: str, view_w):
     return jnp.sum(err) / jnp.maximum(jnp.sum(good), 1)
 
 
-def initialize_views(dataset: CornerDataset, dtype=None):
-    """Batched homography init: shared focal + per-view camera-from-world pose."""
+def initialize_views(dataset: CornerDataset, dtype=None,
+                     distortion_aware: bool = False):
+    """Batched homography init: shared focal + per-view camera-from-world pose.
+
+    With ``distortion_aware`` (the analog of the reference's Larsson
+    radial-P4P init for distortion models, intrinsic_initializer.cc:69-134),
+    a division-model coefficient grid is searched first (ops/pnp.py
+    ``radial_division_init``) and the homographies/focal come from the
+    undistorted corners — robust on strongly-distorted (fisheye) footage
+    where plain DLT on distorted pixels biases the focal.
+
+    Returns (f0, q_cw, t_cw, enough, lam) — lam is the best division
+    coefficient (1/px^2, principal-point-centered), 0.0 when not searched.
+    """
     dtype = precision.resolve(dtype)
     w, h = dataset.image_size
     cc = jnp.array([w / 2.0, h / 2.0], dtype=dtype)
@@ -125,12 +137,25 @@ def initialize_views(dataset: CornerDataset, dtype=None):
     board_xy = jnp.asarray(dataset.board_points[:, :2], dtype)
     obj = jnp.broadcast_to(board_xy, (obs.shape[0],) + board_xy.shape)
     mask = valid.astype(dtype)
-    Hs = pnp.homography_dlt(obj, obs - cc, mask)
+    lam = 0.0
+    if distortion_aware:
+        # Grid in normalized units lam_n = lam * diag^2 — the physically
+        # plausible range for division-model lenses (GoPro-class wide FOV
+        # sits near -1: reference d = -1.44e-6 at diag^2 = 1.2e6 px^2).
+        diag2 = float(w * w + h * h)
+        lam_grid = jnp.asarray(np.linspace(-2.0, 0.5, 26) / diag2, dtype)
+        lam_b, Hs, _ = pnp.radial_division_init(obj, obs - cc, mask, lam_grid)
+        lam = float(lam_b)
+        r2 = jnp.sum((obs - cc) ** 2, -1)
+        obs_init = cc + (obs - cc) / (1.0 + lam_b * r2)[..., None]
+        Hs = pnp.homography_dlt(obj, obs_init - cc, mask)
+    else:
+        Hs = pnp.homography_dlt(obj, obs - cc, mask)
     enough = jnp.sum(valid, -1) >= 10
     f0 = pnp.zhang_focal(Hs, enough)
     q_cw, t_cw = pnp.pose_from_homography(Hs, jnp.full((obs.shape[0],), f0, dtype),
                                           jnp.zeros((obs.shape[0], 2), dtype))
-    return float(f0), np.asarray(q_cw), np.asarray(t_cw), np.asarray(enough)
+    return float(f0), np.asarray(q_cw), np.asarray(t_cw), np.asarray(enough), lam
 
 
 def _voxel_dedup(t_wc: np.ndarray, usable: np.ndarray, grid_size: float, max_views: int):
@@ -155,7 +180,8 @@ def calibrate_camera(dataset: CornerDataset, model_name: str,
     dt = precision.resolve(opts.dtype)
     w, h = dataset.image_size
 
-    f0, q_cw, t_cw, enough = initialize_views(dataset, dt)
+    f0, q_cw, t_cw, enough, lam0 = initialize_views(
+        dataset, dt, distortion_aware=(model.name != "pinhole"))
     # Camera position in world = -R^T t.
     cam_pos = np.einsum("vij,vj->vi",
                         np.transpose(np.asarray(lie.quat_to_matrix(jnp.asarray(q_cw))), (0, 2, 1)),
@@ -169,8 +195,11 @@ def calibrate_camera(dataset: CornerDataset, model_name: str,
     valid = jnp.asarray(dataset.valid[picked])
     board_pts = jnp.asarray(dataset.board_points, dt)
 
+    cam0 = model.init_params(f0, w / 2.0, h / 2.0, dtype=dt)
+    if model.name == "division_undistortion":
+        cam0 = cam0.at[3].set(lam0)  # seed d from the radial grid search
     params = {
-        "cam": model.init_params(f0, w / 2.0, h / 2.0, dtype=dt),
+        "cam": cam0,
         "q_cw": jnp.asarray(q_cw[picked], dt),
         "t_cw": jnp.asarray(t_cw[picked], dt),
         "pts": board_pts,

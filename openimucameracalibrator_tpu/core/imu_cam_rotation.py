@@ -148,6 +148,11 @@ def estimate_imu_to_camera_rotation(poses: PoseDataset, imu: ImuData,
                                  vis_t, omega_vis_s, keep)
     # omega_vis = R_c_g omega_gyro => R maps gyro frame into camera frame.
     q_gyro_to_cam = lie.matrix_to_quat(jnp.asarray(R))
+    # Alignment diagnostics on the visual grid (debug_calib plotting).
+    g_at_vis = interpolation.interp_vector(imu_t, gyro_s, vis_t + td)
+    imu_transformed = (np.asarray(g_at_vis) - np.asarray(bias)) @ np.asarray(R).T
     return ImuCameraInit(
         q_gyro_to_cam=np.asarray(q_gyro_to_cam),
-        time_offset=float(td), gyro_bias=np.asarray(bias))
+        time_offset=float(td), gyro_bias=np.asarray(bias),
+        debug_visual_ang_vel=np.asarray(omega_vis_s),
+        debug_imu_ang_vel_transformed=imu_transformed)

@@ -56,6 +56,7 @@ def calibrate_imu_camera(corners: CornerDataset, calib: CameraCalibration,
                          optimize_board_points: bool = False,
                          board_point_cov=None, reproj_cov=None,
                          max_iters: int = 50, line_delay_iters: int = 10,
+                         checkpoint_dir: str | None = None,
                          dtype=None) -> ImuCameraCalibrationResult:
     """Full batch calibration (reference stage 8).
 
@@ -111,7 +112,8 @@ def calibrate_imu_camera(corners: CornerDataset, calib: CameraCalibration,
     schedule = [(frozenset(flags), max_iters)]
     if stage2 and line_delay_iters > 0:
         schedule.append((frozenset(flags | stage2), line_delay_iters))
-    results = se.optimize_stages(problem, params0, schedule)
+    results = se.optimize_stages(problem, params0, schedule,
+                                 checkpoint_dir=checkpoint_dir)
     res = results[-1]
     params = res.params
     iters = sum(int(r.iterations) for r in results)

@@ -1053,7 +1053,8 @@ def optimize(p: SplineProblem, params0: dict, flags: frozenset = DEFAULT_FLAGS,
 
 def optimize_stages(p: SplineProblem, params0: dict, stages,
                     config: lm.LMConfig | None = None, method: str = "fast",
-                    reproj_chunk: int | None = None) -> list:
+                    reproj_chunk: int | None = None,
+                    checkpoint_dir: str | None = None) -> list:
     """Run a SCHEDULE of LM stages with ONE compiled solver.
 
     ``stages``: list of (flags, max_iters). The free-parameter mask and the
@@ -1061,7 +1062,14 @@ def optimize_stages(p: SplineProblem, params0: dict, stages,
     schedules (e.g. full batch then +CAM_LINE_DELAY, the reference's
     continuous_time...cc:215-221) compile exactly once. Returns the list of
     LMResult, one per stage; each stage starts from the previous solution.
+
+    ``checkpoint_dir``: solver-state checkpointing (SURVEY.md §5). Each
+    completed stage snapshots its parameter pytree; on rerun, completed
+    stages are skipped and their solutions restored (the LMResult for a
+    restored stage reports 0 iterations and the checkpointed cost).
     """
+    from openimucameracalibrator_tpu.utils import checkpoint as ckpt
+
     layout = build_layout(p)
     if method == "fast":
         lin, cost = make_solver_functions_fast(p, layout)
@@ -1076,11 +1084,28 @@ def optimize_stages(p: SplineProblem, params0: dict, stages,
 
     results = []
     params = params0
-    for flags, iters in stages:
+    for i, (flags, iters) in enumerate(stages):
+        restored = ckpt.load_stage(checkpoint_dir, i) if checkpoint_dir else None
+        if restored is not None:
+            saved, meta = restored
+            params = {k: jnp.asarray(v, next(iter(params0.values())).dtype)
+                      for k, v in saved.items()}
+            results.append(lm.LMResult(
+                params=params,
+                cost=jnp.asarray(meta.get("cost", np.nan)),
+                iterations=jnp.asarray(0), lam=jnp.asarray(meta.get("lam", 0.0)),
+                converged=jnp.asarray(True),
+                status=jnp.asarray(lm.STATUS_CONVERGED),
+                cost_history=jnp.zeros((base_cfg.history_len,))))
+            continue
         mask = layout.free_mask(fixed=flags_to_fixed(frozenset(flags)))
         res = run(params, mask, jnp.asarray(iters, jnp.int32))
         params = res.params
         results.append(res)
+        if checkpoint_dir:
+            ckpt.save_stage(checkpoint_dir, i, jax.device_get(params),
+                            cost=res.cost, lam=res.lam,
+                            iterations=res.iterations)
     return results
 
 

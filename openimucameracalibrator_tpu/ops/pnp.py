@@ -229,3 +229,53 @@ def ransac_pnp(points3d: jax.Array, bearings_xy: jax.Array, mask: jax.Array,
     counts = jnp.sum(inl, -1)
     best = jnp.argmax(counts)
     return qs[best], ts[best], inl[best], counts[best]
+
+
+def radial_division_init(obj_xy: jax.Array, img_centered: jax.Array,
+                         mask: jax.Array, lambdas: jax.Array):
+    """Distortion-aware uncalibrated init: batched division-model lambda grid.
+
+    TPU-native analog of the reference's radial-distortion uncalibrated
+    pose (Larsson radial-P4P minimal solver inside per-view RANSAC,
+    /root/reference src/utils/intrinsic_initializer.cc:69-134). Instead of
+    a minimal solver + RANSAC per view, every candidate division
+    coefficient in ``lambdas`` (units 1/px^2 on principal-point-centered
+    pixels, matching the division_undistortion model) is evaluated at
+    once: undistort all corners, fit per-view homographies (one batched
+    SVD over the (L, V) grid), redistort the homography-predicted points
+    with the closed-form division forward map, and score by masked mean
+    transfer error in the *distorted* pixel frame (so the score is
+    comparable across lambdas). Planar targets make this well-posed with
+    far more than minimal correspondences per view.
+
+    obj_xy: (V, P, 2) board-plane coords; img_centered: (V, P, 2) pixel
+    coords relative to the assumed principal point; mask: (V, P);
+    lambdas: (L,). Returns (best_lambda, Hs_best (V,3,3), err_per_lambda).
+    """
+    r2 = jnp.sum(img_centered ** 2, -1)  # (V, P)
+
+    def eval_lambda(lam):
+        # Guard the division-model denominator: a candidate lam for which
+        # 1 + lam r^2 crosses zero inside the observed field is invalid;
+        # clamping keeps the SVD finite and the transfer error (computed in
+        # the distorted frame below) scores such candidates out naturally.
+        den = 1.0 + lam * r2
+        und = img_centered / jnp.where(jnp.abs(den) > 1e-3, den, 1e-3)[..., None]
+        Hs = homography_dlt(obj_xy, und, mask)
+        one = jnp.ones(obj_xy.shape[:-1] + (1,), obj_xy.dtype)
+        ph = jnp.einsum("vij,vpj->vpi", Hs, jnp.concatenate([obj_xy, one], -1))
+        pu = ph[..., :2] / jnp.where(jnp.abs(ph[..., 2:]) > 1e-9, ph[..., 2:], 1e-9)
+        # Closed-form division forward map (redistort): r_d = s * r_u with
+        # s = 2 / (1 + sqrt(1 - 4 lam r_u^2)) (see models.cameras.divundist).
+        ru2 = jnp.sum(pu ** 2, -1)
+        disc = jnp.maximum(1.0 - 4.0 * lam * ru2, 0.0)
+        s = 2.0 / (1.0 + jnp.sqrt(disc))
+        pd = pu * s[..., None]
+        err = jnp.linalg.norm(pd - img_centered, axis=-1)
+        n = jnp.maximum(jnp.sum(mask), 1.0)
+        mean_err = jnp.sum(err * mask) / n
+        return jnp.where(jnp.isfinite(mean_err), mean_err, jnp.inf), Hs
+
+    errs, Hs_all = jax.lax.map(eval_lambda, lambdas)
+    best = jnp.argmin(errs)
+    return lambdas[best], Hs_all[best], errs

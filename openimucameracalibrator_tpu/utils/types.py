@@ -111,6 +111,11 @@ class ImuCameraInit:
     q_gyro_to_cam: np.ndarray  # (4,)
     time_offset: float  # seconds; add to camera timestamps
     gyro_bias: np.ndarray  # (3,)
+    # Optional alignment diagnostics (debug_calib plotting): smoothed visual
+    # angular velocity and the time-shifted, bias-corrected gyro rotated
+    # into the camera frame, both on the visual time grid.
+    debug_visual_ang_vel: np.ndarray | None = None
+    debug_imu_ang_vel_transformed: np.ndarray | None = None
 
 
 @dataclasses.dataclass

@@ -83,3 +83,34 @@ def test_min_views_guard():
                                             num_views=6, seed=5)
     with pytest.raises(ValueError):
         camera_calibrator.calibrate_camera(scene_to_dataset(scene), "pinhole")
+
+
+def test_distortion_aware_init_fisheye():
+    """The division-model lambda grid init (ops/pnp.radial_division_init —
+    the analog of the reference's Larsson radial-P4P path,
+    intrinsic_initializer.cc:69-134) must give a substantially less biased
+    focal than plain DLT on strongly-distorted footage."""
+    model = cameras.get_model("fisheye")
+    true = jnp.array(TRUE_PARAMS["fisheye"])
+    scene = synthetic.make_intrinsics_scene(model, true, num_views=40,
+                                            noise_px=0.2, seed=5)
+    ds = scene_to_dataset(scene)
+    f_plain = camera_calibrator.initialize_views(
+        ds, jnp.float32, distortion_aware=False)[0]
+    f_rad, _, _, _, lam = camera_calibrator.initialize_views(
+        ds, jnp.float32, distortion_aware=True)
+    f_true = float(true[0])
+    assert abs(f_rad - f_true) <= abs(f_plain - f_true) + 1e-6
+    assert abs(f_rad - f_true) / f_true < 0.10, (f_rad, f_plain)
+    assert lam < 0.0  # barrel distortion -> negative division coefficient
+
+
+def test_division_seed_from_radial_init():
+    """division_undistortion gets its d parameter seeded by the grid search."""
+    model = cameras.get_model("division_undistortion")
+    true = jnp.array(TRUE_PARAMS["division_undistortion"])
+    scene = synthetic.make_intrinsics_scene(model, true, num_views=40,
+                                            noise_px=0.2, seed=6)
+    _, _, _, _, lam = camera_calibrator.initialize_views(
+        scene_to_dataset(scene), jnp.float32, distortion_aware=True)
+    assert abs(lam - float(true[3])) < 7e-7, lam

@@ -105,3 +105,27 @@ def test_spline_problem_masks_out_of_range():
     # IMU samples before the first (shifted) frame must be masked.
     assert not ok[0]
     assert ok.sum() > 0.8 * len(ok)
+
+
+def test_solver_checkpoint_resume(tmp_path):
+    """optimize_stages snapshots each stage and resumes from completed
+    stages (SURVEY.md §5 checkpoint/resume; utils/checkpoint.py)."""
+    import __graft_entry__ as ge
+    from openimucameracalibrator_tpu.core import spline_estimator as se
+    from openimucameracalibrator_tpu.solver import lm
+
+    p, params0 = ge._tiny_problem()
+    schedule = [(frozenset(se.DEFAULT_FLAGS), 3),
+                (frozenset(se.DEFAULT_FLAGS | {se.CAM_LINE_DELAY}), 2)]
+    ck = str(tmp_path / "ckpt")
+    cfg = lm.LMConfig(max_iters=5, ftol=0.0)
+    r1 = se.optimize_stages(p, params0, schedule, config=cfg,
+                            checkpoint_dir=ck)
+    assert int(r1[0].iterations) > 0
+    # Rerun: both stages restored, zero new iterations, same solution.
+    r2 = se.optimize_stages(p, params0, schedule, config=cfg,
+                            checkpoint_dir=ck)
+    assert int(r2[0].iterations) == 0 and int(r2[1].iterations) == 0
+    np.testing.assert_allclose(np.asarray(r2[-1].params["t_r3"]),
+                               np.asarray(r1[-1].params["t_r3"]), rtol=1e-6)
+    assert np.isclose(float(r2[-1].cost), float(r1[-1].cost), rtol=1e-6)
