@@ -19,12 +19,14 @@ measurement touches a fixed window of knots) that shard over a
 __version__ = "0.1.0"
 
 
-def _enable_persistent_jit_cache():
+def enable_persistent_jit_cache():
     """Point JAX's persistent compilation cache at a per-user directory.
 
     The continuous-time batch problem compiles multi-minute XLA programs;
     caching them across processes turns every rerun of the CLI pipeline /
-    bench into a warm start. Opt out with
+    bench into a warm start. Called by the CLI entry points (apps/*) and
+    bench — NOT at package import, so importing the library has no
+    filesystem or jax-import side effects. Opt out with
     ``OICC_TPU_DISABLE_JIT_CACHE=1`` or by setting your own
     ``jax_compilation_cache_dir`` first (we never override one).
     (jax 0.9.0 ignores the JAX_COMPILATION_CACHE_DIR env var, so this must
@@ -48,6 +50,4 @@ def _enable_persistent_jit_cache():
         pass
 
 
-_enable_persistent_jit_cache()
-
-from openimucameracalibrator_tpu import ops, models, solver, core, parallel, utils  # noqa: F401
+from openimucameracalibrator_tpu import ops, models, solver, core, parallel, utils  # noqa: E402,F401

@@ -39,11 +39,33 @@ def build_parser(p: argparse.ArgumentParser | None = None):
     p.add_argument("--solver_checkpoint_dir", default="",
                    help="snapshot the solution after every LM stage and "
                         "resume from completed stages on rerun")
+    # Multi-host launch (parallel/multihost.py): pass the coordinator to
+    # join a jax.distributed pod; single-host runs leave these unset.
+    p.add_argument("--coordinator_address", default="",
+                   help="host:port of process 0 for jax.distributed")
+    p.add_argument("--num_processes", type=int, default=0)
+    p.add_argument("--process_id", type=int, default=-1)
     return p
+
+
+def maybe_init_distributed(args) -> bool:
+    """Join a multi-host pod when requested (no-op single-host)."""
+    from openimucameracalibrator_tpu.parallel import multihost
+
+    return multihost.initialize(
+        coordinator_address=getattr(args, "coordinator_address", "") or None,
+        num_processes=getattr(args, "num_processes", 0) or None,
+        process_id=(getattr(args, "process_id", -1)
+                    if getattr(args, "process_id", -1) >= 0 else None))
 
 
 def run(args) -> str:
     import numpy as np
+
+    if maybe_init_distributed(args):
+        import jax
+        print(f"jax.distributed: process {jax.process_index()}/"
+              f"{jax.process_count()}, {len(jax.devices())} global devices")
 
     from openimucameracalibrator_tpu.apps.estimate_imu_to_camera_rotation import \
         load_imu_camera_init
@@ -99,6 +121,8 @@ def run(args) -> str:
 
 
 def main(argv=None):
+    import openimucameracalibrator_tpu as oicc
+    oicc.enable_persistent_jit_cache()
     run(build_parser().parse_args(argv))
 
 

@@ -64,6 +64,8 @@ def load_imu_camera_init(path: str):
 
 
 def main(argv=None):
+    import openimucameracalibrator_tpu as oicc
+    oicc.enable_persistent_jit_cache()
     run(build_parser().parse_args(argv))
 
 

@@ -44,6 +44,8 @@ def load_pose_dataset(path: str):
 
 
 def main(argv=None):
+    import openimucameracalibrator_tpu as oicc
+    oicc.enable_persistent_jit_cache()
     run(build_parser().parse_args(argv))
 
 

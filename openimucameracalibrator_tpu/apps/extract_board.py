@@ -52,6 +52,8 @@ def run(args) -> str:
 
 
 def main(argv=None):
+    import openimucameracalibrator_tpu as oicc
+    oicc.enable_persistent_jit_cache()
     run(build_parser().parse_args(argv))
 
 

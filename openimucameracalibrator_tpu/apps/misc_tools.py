@@ -154,8 +154,11 @@ def extract_frames_main(argv=None):
 
     os.makedirs(args.path_to_image_output, exist_ok=True)
     n = 0
+    # downsample IS the shrink factor (frames resized by 1/downsample), so
+    # --resize_factor 2 halves the frames like the reference
+    # (python/utils.py:135 resizes by 1/resize_factor).
     for t_s, img in board_extractor.iter_video_frames(
-            args.path_to_videofile, downsample=1.0 / args.resize_factor):
+            args.path_to_videofile, downsample=args.resize_factor):
         out = os.path.join(args.path_to_image_output, f"{int(t_s * 1e6):012d}.png")
         board_extractor.save_image(out, img)
         n += 1

@@ -72,6 +72,11 @@ def build_parser():
     p.add_argument("--recompute_corners", action="store_true")
     p.add_argument("--imu_intrinsics_json", default="",
                    help="static multi-pose IMU intrinsics json (read_misc.cc:84-150)")
+    # Multi-host launch (parallel/multihost.py).
+    p.add_argument("--coordinator_address", default="",
+                   help="host:port of process 0 for jax.distributed")
+    p.add_argument("--num_processes", type=int, default=0)
+    p.add_argument("--process_id", type=int, default=-1)
     return p
 
 
@@ -110,6 +115,13 @@ def _extract_corners(video, opts, ws_path, recompute):
 
 
 def run(args) -> dict:
+    from openimucameracalibrator_tpu.apps.continuous_time_calibration import \
+        maybe_init_distributed
+    if maybe_init_distributed(args):
+        import jax
+        print(f"jax.distributed: process {jax.process_index()}/"
+              f"{jax.process_count()}, {len(jax.devices())} global devices")
+
     from openimucameracalibrator_tpu.core import (board_extractor, camera_calibrator,
                                                   imu_cam_rotation,
                                                   imu_camera_calibrator, pose_estimator)
@@ -233,6 +245,8 @@ def run(args) -> dict:
 
 
 def main(argv=None):
+    import openimucameracalibrator_tpu as oicc
+    oicc.enable_persistent_jit_cache()
     run(build_parser().parse_args(argv))
 
 

@@ -187,9 +187,34 @@ def calibrate_camera(dataset: CornerDataset, model_name: str,
                         np.transpose(np.asarray(lie.quat_to_matrix(jnp.asarray(q_cw))), (0, 2, 1)),
                         -t_cw)
     picked = _voxel_dedup(cam_pos, enough, opts.grid_size, opts.max_views)
+    # Adaptive dedup: on short recordings a fixed voxel size can thin the
+    # usable views below min_num_views even though detection was healthy
+    # (the reference hard-fails there, camera_calibrator.h:85). Halve the
+    # spacing until enough views survive — spatial diversity is a
+    # conditioning heuristic, not a correctness requirement.
+    grid = opts.grid_size
+    while picked.size < opts.min_num_views and grid > 1e-6 and \
+            picked.size < int(np.sum(enough)):
+        grid *= 0.5
+        picked = _voxel_dedup(cam_pos, enough, grid, opts.max_views)
+    if grid != opts.grid_size and picked.size >= opts.min_num_views:
+        print(f"   [camera_calibrator] voxel grid relaxed "
+              f"{opts.grid_size:.4f} -> {grid:.4f} m to keep "
+              f"{picked.size} views")
     if picked.size < opts.min_num_views:
+        # Per-view diagnosis instead of a bare count: say WHY views were
+        # dropped (detection/init attrition vs dedup) so a near-miss is
+        # actionable (reference logs and continues, camera_calibrator.cc:236-340).
+        n_corners = np.sum(np.asarray(dataset.valid), -1)
+        n_total = len(n_corners)
+        n_enough = int(np.sum(enough))
         raise ValueError(
-            f"only {picked.size} usable views after dedup (< {opts.min_num_views})")
+            f"only {picked.size} usable views (need >= {opts.min_num_views}): "
+            f"{n_total} frames, {n_enough} with >=10 detected corners "
+            f"(per-frame corner counts {n_corners.tolist()}), "
+            f"{n_enough - picked.size} removed by voxel dedup at final "
+            f"grid {grid:.5f} m (start {opts.grid_size} m). Record more "
+            f"viewpoint diversity or lower min_num_views.")
 
     obs = jnp.asarray(dataset.points2d[picked], dt)
     valid = jnp.asarray(dataset.valid[picked])

@@ -977,7 +977,9 @@ def build_problem(corners: CornerDataset, calib: CameraCalibration,
 
 def enable_board_points(p: SplineProblem, *, point_prior_std: float = 1e-3,
                         point_cov: np.ndarray | None = None,
-                        reproj_cov: np.ndarray | None = None) -> SplineProblem:
+                        reproj_cov: np.ndarray | None = None,
+                        board_points: np.ndarray | None = None,
+                        obs_pt_id: np.ndarray | None = None) -> SplineProblem:
     """Activate the POINTS parameter block on an assembled problem.
 
     Mirrors the reference's POINTS flag + feature covariance machinery:
@@ -994,23 +996,42 @@ def enable_board_points(p: SplineProblem, *, point_prior_std: float = 1e-3,
                      isotropic ``point_prior_std``² I.
     ``reproj_cov`` — (P, 2, 2) per-point feature covariance in px²;
                      default identity (no whitening).
-    Observations must be view-major tiles of the P board points, as
-    ``build_problem`` lays them out.
+    ``board_points``/``obs_pt_id`` — the explicit contract: the (P, 3)
+    board geometry and a (Mo,) int index mapping each observation to its
+    point. When omitted, both are inferred from the view-major tiling
+    ``build_problem`` produces (obs_pt = tile(board_points, (V, 1)));
+    datasets with per-view variable boards (image folders, pruned
+    corners) must pass them explicitly.
     """
-    P = None
-    # Infer P from the tiling: obs_pt is np.tile(board_points, (V, 1)).
     mo = int(p.obs_t.shape[0])
     bp0 = np.asarray(p.obs_pt)
-    # Find the tile period: first index where the full prefix repeats.
-    for cand in range(1, mo + 1):
-        if mo % cand == 0 and np.array_equal(bp0[:cand], bp0[cand:2 * cand]) \
-                and np.allclose(bp0, np.tile(bp0[:cand], (mo // cand, 1))):
-            P = cand
-            break
-    assert P is not None, "observations are not a per-view tiling of the board"
-    V = mo // P
-    pts = bp0[:P]
-    obs_pt_id = jnp.asarray(np.tile(np.arange(P, dtype=np.int32), V))
+    if board_points is not None and obs_pt_id is not None:
+        pts = np.asarray(board_points)
+        P = int(pts.shape[0])
+        ids = np.asarray(obs_pt_id, np.int32)
+        if ids.shape[0] != mo:
+            raise ValueError(f"obs_pt_id has {ids.shape[0]} entries for "
+                             f"{mo} observations")
+        if ids.min() < 0 or ids.max() >= P:
+            raise ValueError("obs_pt_id indexes outside the board")
+        obs_pt_id = jnp.asarray(ids)
+    elif board_points is not None or obs_pt_id is not None:
+        raise ValueError("pass board_points and obs_pt_id together")
+    else:
+        # Infer P from the tiling: obs_pt is np.tile(board_points, (V, 1)).
+        P = None
+        # Find the tile period: first index where the full prefix repeats.
+        for cand in range(1, mo + 1):
+            if mo % cand == 0 and np.array_equal(bp0[:cand], bp0[cand:2 * cand]) \
+                    and np.allclose(bp0, np.tile(bp0[:cand], (mo // cand, 1))):
+                P = cand
+                break
+        if P is None:
+            raise ValueError(
+                "observations are not a per-view tiling of one board; pass "
+                "board_points and obs_pt_id explicitly")
+        pts = bp0[:P]
+        obs_pt_id = jnp.asarray(np.tile(np.arange(P, dtype=np.int32), mo // P))
 
     dtype = p.obs_uv.dtype
 
@@ -1029,7 +1050,9 @@ def enable_board_points(p: SplineProblem, *, point_prior_std: float = 1e-3,
     sqrt_info = None
     if reproj_cov is not None:
         Sr = _sqrt_info(reproj_cov, 1e-4)  # 0.01 px std floor, (P, 2, 2)
-        sqrt_info = jnp.asarray(np.tile(Sr, (V, 1, 1)), dtype)
+        # Per-observation whitening gathered through obs_pt_id (works for
+        # both tiled and explicit observation layouts).
+        sqrt_info = jnp.asarray(Sr, dtype)[obs_pt_id]
 
     return p._replace(n_points=P, obs_pt_id=obs_pt_id,
                       obs_sqrt_info=sqrt_info,
@@ -1065,8 +1088,11 @@ def optimize_stages(p: SplineProblem, params0: dict, stages,
 
     ``checkpoint_dir``: solver-state checkpointing (SURVEY.md §5). Each
     completed stage snapshots its parameter pytree; on rerun, completed
-    stages are skipped and their solutions restored (the LMResult for a
-    restored stage reports 0 iterations and the checkpointed cost).
+    stages are skipped and their solutions restored with their true
+    convergence status. Checkpoints carry a fingerprint of the problem
+    inputs + stage schedule + parameter tree signature; any mismatch
+    (re-detected corners, changed flags, different shapes) invalidates
+    them instead of restoring a stale solution.
     """
     from openimucameracalibrator_tpu.utils import checkpoint as ckpt
 
@@ -1077,6 +1103,19 @@ def optimize_stages(p: SplineProblem, params0: dict, stages,
         lin, cost = make_solver_functions(p, layout, reproj_chunk=reproj_chunk)
     base_cfg = config or lm.LMConfig(ftol=1e-4)
 
+    if checkpoint_dir:
+        # Problem digest: every measurement array + static config of the
+        # SplineProblem, the full stage schedule, and the params0 signature.
+        prob_fp = ckpt.fingerprint(
+            {k: (np.asarray(v) if v is not None and not isinstance(
+                v, (int, float, bool, str)) else v)
+             for k, v in p._asdict().items()},
+            [(sorted(f), int(n)) for f, n in stages],
+            ckpt.tree_signature(jax.device_get(params0)),
+            str(np.asarray(next(iter(params0.values())).dtype)))
+    else:
+        prob_fp = None
+
     @jax.jit
     def run(prm, mask, iters):
         cfg = base_cfg._replace(max_iters=iters)
@@ -1085,17 +1124,21 @@ def optimize_stages(p: SplineProblem, params0: dict, stages,
     results = []
     params = params0
     for i, (flags, iters) in enumerate(stages):
-        restored = ckpt.load_stage(checkpoint_dir, i) if checkpoint_dir else None
+        restored = (ckpt.load_stage(checkpoint_dir, i, fingerprint=prob_fp)
+                    if checkpoint_dir else None)
         if restored is not None:
             saved, meta = restored
             params = {k: jnp.asarray(v, next(iter(params0.values())).dtype)
                       for k, v in saved.items()}
+            status = int(meta.get("status", lm.STATUS_CONVERGED))
             results.append(lm.LMResult(
                 params=params,
                 cost=jnp.asarray(meta.get("cost", np.nan)),
-                iterations=jnp.asarray(0), lam=jnp.asarray(meta.get("lam", 0.0)),
-                converged=jnp.asarray(True),
-                status=jnp.asarray(lm.STATUS_CONVERGED),
+                iterations=jnp.asarray(int(meta.get("iterations", 0))),
+                lam=jnp.asarray(meta.get("lam", 0.0)),
+                converged=jnp.asarray(bool(meta.get(
+                    "converged", status == lm.STATUS_CONVERGED))),
+                status=jnp.asarray(status),
                 cost_history=jnp.zeros((base_cfg.history_len,))))
             continue
         mask = layout.free_mask(fixed=flags_to_fixed(frozenset(flags)))
@@ -1105,7 +1148,9 @@ def optimize_stages(p: SplineProblem, params0: dict, stages,
         if checkpoint_dir:
             ckpt.save_stage(checkpoint_dir, i, jax.device_get(params),
                             cost=res.cost, lam=res.lam,
-                            iterations=res.iterations)
+                            iterations=res.iterations,
+                            converged=res.converged, status=res.status,
+                            fingerprint=prob_fp)
     return results
 
 

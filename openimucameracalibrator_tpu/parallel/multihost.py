@@ -107,6 +107,33 @@ def pad_rows(x: np.ndarray, target: int, pad_value=0) -> np.ndarray:
     return out
 
 
+def _fam_of(field: str) -> str:
+    return ("accel" if field.startswith("accel")
+            else "gyro" if field.startswith("gyro") else "obs")
+
+
+def agree_per_host_rows(local: Dict[str, np.ndarray]) -> Dict[str, int]:
+    """Cross-host agreement on the common per-host row count per family.
+
+    Each host's time slice holds a different number of samples; the
+    sharded global arrays need one common per-host length. This gathers
+    every host's counts with ``multihost_utils.process_allgather`` (a real
+    collective over the jax.distributed coordination backend — no
+    out-of-band channel) and returns the per-family max. Single-process:
+    this host's own counts.
+    """
+    fams = sorted({_fam_of(f) for f in local})
+    counts = {fam: max((v.shape[0] for f, v in local.items()
+                        if _fam_of(f) == fam), default=0) for fam in fams}
+    if jax.process_count() == 1:
+        return counts
+    from jax.experimental import multihost_utils
+
+    vec = np.asarray([counts[fam] for fam in fams], np.int64)
+    all_counts = np.asarray(multihost_utils.process_allgather(vec))
+    return {fam: int(all_counts[:, i].max()) for i, fam in enumerate(fams)}
+
+
 def make_global_problem(local: Dict[str, np.ndarray], meta: Dict,
                         mesh: Mesh, axis: str = "data",
                         per_host_rows: Dict[str, int] | None = None
@@ -118,16 +145,15 @@ def make_global_problem(local: Dict[str, np.ndarray], meta: Dict,
     gyro_*, obs_*) for ITS time slice only, with *_valid marking real
     rows. ``meta``: the static SplineProblem fields (t0, dt_*, n_*,
     w_accel, w_gyro, cam_params, model_name, rolling_shutter).
-    ``per_host_rows``: common per-host row count per family (must be
-    agreed across hosts, e.g. the max, communicated out of band or
-    derived from the recording length); defaults to this host's counts
-    (valid only single-host).
+    ``per_host_rows``: common per-host row count per family; when omitted
+    it is agreed across hosts via :func:`agree_per_host_rows` (process
+    allgather of the per-family counts, padded to the max).
     """
-    fam_of = lambda f: ("accel" if f.startswith("accel")
-                        else "gyro" if f.startswith("gyro") else "obs")
+    if per_host_rows is None:
+        per_host_rows = agree_per_host_rows(local)
     arrays = {}
     for f, v in local.items():
-        target = (per_host_rows or {}).get(fam_of(f), v.shape[0])
+        target = per_host_rows.get(_fam_of(f), v.shape[0])
         pad_value = False if f.endswith("_valid") else 0
         padded = pad_rows(np.asarray(v), target, pad_value)
         arrays[f] = make_global_array(padded, mesh, axis)

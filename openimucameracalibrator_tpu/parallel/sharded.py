@@ -52,24 +52,32 @@ def _replicated_fields(p: se.SplineProblem):
 
 
 def _add_prior_outside(linearize_fn, cost_fn, p: se.SplineProblem, layout):
-    """Wrap sharded (linearize, cost) to add the board-point prior ONCE,
-    after the cross-device reduction (inside the shard bodies it would be
-    multiplied by the mesh size under psum)."""
+    """Wrap sharded ``(params, data)`` (linearize, cost) to add the
+    board-point prior ONCE, after the cross-device reduction (inside the
+    shard bodies it would be multiplied by the mesh size under psum)."""
     if p.n_points == 0 or p.pt_prior_sqrt_info is None:
         return linearize_fn, cost_fn
 
-    def lin(params):
-        H, g, c = linearize_fn(params)
+    def lin(params, data):
+        H, g, c = linearize_fn(params, data)
         rq, Wq, iq = se._point_prior_eval(params, p, layout)
         H, g = se._scatter(H, g, rq, Wq, iq)
         return H, g, c + 0.5 * jnp.sum(rq * rq)
 
-    def cost(params):
-        c = cost_fn(params)
+    def cost(params, data):
+        c = cost_fn(params, data)
         rq, _, _ = se._point_prior_eval(params, p, layout)
         return c + 0.5 * jnp.sum(rq * rq)
 
     return lin, cost
+
+
+def _bind(lin2, cost2, data):
+    """Close (params, data) functions over concrete data — the convenient
+    single-controller form (multi-process callers must instead thread
+    ``data`` through jit arguments; closed-over global arrays would be
+    baked as constants, which jax forbids across processes)."""
+    return (lambda params: lin2(params, data)), (lambda params: cost2(params, data))
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
@@ -150,12 +158,14 @@ def _plan_family(times_3d: np.ndarray, p: se.SplineProblem, chunk: int,
     return w_s, w_r, s_base.astype(np.int32), r_base.astype(np.int32)
 
 
-def make_sharded_fast_solver_functions(p: se.SplineProblem, mesh: Mesh,
-                                       axis: str = "data",
-                                       obs_chunk: int = 8192,
-                                       imu_chunk: int = 2048):
-    """(linearize_fn, cost_fn, layout) — chunk-local dense assembly per
-    device shard + one psum of (H, g, cost) over the mesh.
+def make_sharded_fast_solver_functions_ex(p: se.SplineProblem, mesh: Mesh,
+                                          axis: str = "data",
+                                          obs_chunk: int = 8192,
+                                          imu_chunk: int = 2048):
+    """(lin2, cost2, layout, data) — chunk-local dense assembly per
+    device shard + one psum of (H, g, cost) over the mesh; ``lin2(params,
+    data)`` / ``cost2(params, data)`` take the sharded measurement pytree
+    as an explicit argument (multi-process safe).
 
     Same numerical contract as :func:`make_sharded_solver_functions` but
     using the MXU-friendly fast assembly (se.make_fast_linearizer) on each
@@ -219,14 +229,27 @@ def make_sharded_fast_solver_functions(p: se.SplineProblem, mesh: Mesh,
         c = c + robust.huber_cost(rp.reshape(-1), se.HUBER_PX, group_size=2)
         return jax.lax.psum(c, axis)
 
-    linearize_fn = lambda params: _linearize(params, arrs, bases)
-    cost_fn = lambda params: _cost(params, arrs)
-    return _add_prior_outside(linearize_fn, cost_fn, p, layout) + (layout,)
+    lin2 = lambda params, data: _linearize(params, data[0], data[1])
+    cost2 = lambda params, data: _cost(params, data[0])
+    lin2, cost2 = _add_prior_outside(lin2, cost2, p, layout)
+    return lin2, cost2, layout, (arrs, bases)
 
 
-def make_sharded_solver_functions(p: se.SplineProblem, mesh: Mesh,
-                                  axis: str = "data"):
-    """(linearize_fn, cost_fn) with measurement shards on the mesh.
+def make_sharded_fast_solver_functions(p: se.SplineProblem, mesh: Mesh,
+                                       axis: str = "data",
+                                       obs_chunk: int = 8192,
+                                       imu_chunk: int = 2048):
+    """Single-controller convenience form: (linearize_fn, cost_fn, layout)
+    with the sharded data bound in a closure."""
+    lin2, cost2, layout, data = make_sharded_fast_solver_functions_ex(
+        p, mesh, axis, obs_chunk, imu_chunk)
+    return _bind(lin2, cost2, data) + (layout,)
+
+
+def make_sharded_solver_functions_ex(p: se.SplineProblem, mesh: Mesh,
+                                     axis: str = "data"):
+    """(lin2, cost2, layout, data) with measurement shards on the mesh;
+    data is threaded explicitly (multi-process safe).
 
     Same contract as se.make_solver_functions; outputs are replicated.
     """
@@ -264,9 +287,18 @@ def make_sharded_solver_functions(p: se.SplineProblem, mesh: Mesh,
         _, cost = se.make_solver_functions(p_local, layout, include_prior=False)
         return jax.lax.psum(cost(params), axis)
 
-    linearize_fn = lambda params: _linearize(params, sharded, repl)
-    cost_fn = lambda params: _cost(params, sharded, repl)
-    return _add_prior_outside(linearize_fn, cost_fn, p, layout) + (layout,)
+    lin2 = lambda params, data: _linearize(params, data[0], data[1])
+    cost2 = lambda params, data: _cost(params, data[0], data[1])
+    lin2, cost2 = _add_prior_outside(lin2, cost2, p, layout)
+    return lin2, cost2, layout, (sharded, repl)
+
+
+def make_sharded_solver_functions(p: se.SplineProblem, mesh: Mesh,
+                                  axis: str = "data"):
+    """Single-controller convenience form: (linearize_fn, cost_fn, layout)
+    with the sharded data bound in a closure."""
+    lin2, cost2, layout, data = make_sharded_solver_functions_ex(p, mesh, axis)
+    return _bind(lin2, cost2, data) + (layout,)
 
 
 def optimize_sharded(p: se.SplineProblem, params0: dict, mesh: Mesh,
@@ -279,13 +311,23 @@ def optimize_sharded(p: se.SplineProblem, params0: dict, mesh: Mesh,
 
     method "fast" = chunk-local dense assembly per shard (production path);
     "scatter" = direct block scatter-add (equivalence-test reference).
+
+    The sharded measurement pytree is threaded through jit ARGUMENTS, not
+    closures, so the same call works in a multi-process (multi-host)
+    launch where the arrays span non-addressable devices
+    (tests/multihost_worker.py).
     """
     if method == "fast":
-        lin, cost, layout = make_sharded_fast_solver_functions(
+        lin2, cost2, layout, data = make_sharded_fast_solver_functions_ex(
             p, mesh, obs_chunk=obs_chunk, imu_chunk=imu_chunk)
     else:
-        lin, cost, layout = make_sharded_solver_functions(p, mesh)
+        lin2, cost2, layout, data = make_sharded_solver_functions_ex(p, mesh)
     mask = layout.free_mask(fixed=se.flags_to_fixed(flags))
     cfg = config or lm.LMConfig(max_iters=max_iters, ftol=1e-4)
-    run = jax.jit(lambda prm: lm.lm_optimize(lin, cost, layout.retract, prm, mask, cfg))
-    return run(params0)
+
+    @jax.jit
+    def run(prm, data):
+        return lm.lm_optimize(lambda q: lin2(q, data), lambda q: cost2(q, data),
+                              layout.retract, prm, mask, cfg)
+
+    return run(params0, data)

@@ -156,7 +156,11 @@ def lm_optimize(
         status = jnp.where(
             accepted & (rel_decrease < cfg.ftol), STATUS_CONVERGED,
             jnp.where(accepted, STATUS_MAX_ITERS, STATUS_NO_PROGRESS))
-        hist = hist.at[jnp.minimum(it, cfg.history_len - 1)].set(new_cost)
+        # Record the first history_len entries; later iterations leave the
+        # trace intact (no silent overwrite of the last slot on long runs).
+        slot = jnp.minimum(it, cfg.history_len - 1)
+        hist = hist.at[slot].set(
+            jnp.where(it < cfg.history_len, new_cost, hist[slot]))
         return new_params, new_cost, new_lam, it + 1, status, hist
 
     cost0 = cost_fn(params0)

@@ -122,10 +122,27 @@ def test_solver_checkpoint_resume(tmp_path):
     r1 = se.optimize_stages(p, params0, schedule, config=cfg,
                             checkpoint_dir=ck)
     assert int(r1[0].iterations) > 0
-    # Rerun: both stages restored, zero new iterations, same solution.
+    # Rerun: both stages restored with their true solver state (iteration
+    # count, convergence status), same solution.
     r2 = se.optimize_stages(p, params0, schedule, config=cfg,
                             checkpoint_dir=ck)
-    assert int(r2[0].iterations) == 0 and int(r2[1].iterations) == 0
+    for a, b in zip(r1, r2):
+        assert int(b.iterations) == int(a.iterations)
+        assert int(b.status) == int(a.status)
+        assert bool(b.converged) == bool(a.converged)
     np.testing.assert_allclose(np.asarray(r2[-1].params["t_r3"]),
                                np.asarray(r1[-1].params["t_r3"]), rtol=1e-6)
     assert np.isclose(float(r2[-1].cost), float(r1[-1].cost), rtol=1e-6)
+
+    # Fingerprint invalidation (stale-input protection): change the inputs
+    # — here a measurement value — and the checkpoints must NOT be reused.
+    p_changed = p._replace(gyro_meas=p.gyro_meas + 1e-3)
+    r3 = se.optimize_stages(p_changed, params0, schedule, config=cfg,
+                            checkpoint_dir=ck)
+    assert int(r3[0].iterations) > 0  # re-solved, not restored
+    # A changed schedule invalidates too.
+    r4 = se.optimize_stages(p, params0,
+                            [(frozenset(se.DEFAULT_FLAGS), 2),
+                             (frozenset(se.DEFAULT_FLAGS | {se.CAM_LINE_DELAY}), 2)],
+                            config=cfg, checkpoint_dir=ck)
+    assert int(r4[0].iterations) > 0
