@@ -35,6 +35,8 @@ def _lib():
     lib.gpmf_num_frames.argtypes = [ctypes.c_void_p]
     lib.gpmf_frame_times.argtypes = [ctypes.c_void_p,
                                      ctypes.POINTER(ctypes.c_double)]
+    lib.gpmf_stream_dropped.restype = ctypes.c_longlong
+    lib.gpmf_stream_dropped.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
     lib.gpmf_close.argtypes = [ctypes.c_void_p]
     return lib
 
@@ -90,6 +92,10 @@ class GpmfFile:
             times.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
             vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
         return times, vals
+
+    def stream_dropped(self, fourcc: str) -> int:
+        """Samples the camera dropped per TSMP accounting (0 if no TSMP)."""
+        return int(self._lib.gpmf_stream_dropped(self._h, fourcc.encode()))
 
     def frame_times(self) -> np.ndarray:
         n = self._lib.gpmf_num_frames(self._h)

@@ -413,7 +413,7 @@ def _reproj_eval(params, p: SplineProblem, with_jac: bool):
     r = r * w[:, None]
     J = None
     if with_jac:
-        J = jax.vmap(lambda *a: jax.jacfwd(res)(d0, *a), in_axes=in_axes)(*args)
+        J = jax.vmap(lambda *a: jax.jacrev(res)(d0, *a), in_axes=in_axes)(*args)
         J = J * w[:, None, None]
     return r, J, (i_s, i_r)
 
@@ -539,15 +539,13 @@ def _plan_chunks(times: np.ndarray, p: SplineProblem, chunk: int,
                      r_base=jnp.asarray(r_base, jnp.int32))
 
 
-def _local_win_idx(i0_local, order, td, offset):
-    """Chunk-local tangent indices of a knot window: (C, order*td)."""
-    base = offset + (i0_local[:, None] + jnp.arange(order, dtype=i0_local.dtype)) * td
-    return (base[:, :, None] + jnp.arange(td, dtype=i0_local.dtype)).reshape(
-        i0_local.shape[0], order * td)
-
-
 def _densify(r, J, local_idx, L):
-    """(C, rd) residuals + (C, rd, F) blocks -> dense (C*rd, L) Jacobian."""
+    """(C, rd) residuals + (C, rd, F) blocks -> dense (C*rd, L) Jacobian.
+
+    Generic scatter version (reference implementation; the hot path uses
+    the scatter-free :func:`_densify_segments`, which profiled ~90x
+    cheaper on TPU — the scatter here was 332 of the 377 ms linearize at
+    GoPro-recording scale)."""
     C, rd, F = J.shape
     Jd = jnp.zeros((C * rd, L), J.dtype)
     rows = jnp.broadcast_to(jnp.arange(C * rd)[:, None], (C * rd, F)).reshape(C, rd, F)
@@ -556,22 +554,42 @@ def _densify(r, J, local_idx, L):
     return Jd, r.reshape(C * rd)
 
 
-def _block_accumulate(H, g, H_local, g_local, regions):
-    """Add local normal equations into the global ones.
+def _densify_segments(r, J, segments, L):
+    """Scatter-free densification exploiting the block-window structure.
 
-    regions: list of (local_start, length, global_start) with static
-    local_start/length and (possibly traced) global_start; regions are
-    mutually disjoint in the global index space.
+    Every measurement's local Jacobian is a few CONTIGUOUS runs of
+    td-wide blocks (a knot window starting at a per-measurement block
+    index) plus fixed tail columns. Placing a run into its region is a
+    tiny batched matmul against a per-measurement block one-hot — MXU
+    work instead of a 20M-element scatter (the TPU scatter path measured
+    ~330 ms per linearize at recording scale; this is ~3 ms).
+
+    segments: layout-ordered list of
+      ("run", col0, nblk, td, blk_idx (C,), wblk) — J[:, :, col0:col0+nblk*td]
+          holds nblk td-wide blocks; block k of measurement m lands at
+          block position blk_idx[m]+k of a wblk-block region, and
+      ("fixed", col0, ncols) — contiguous columns shared by all
+          measurements.
+    Regions are concatenated in order; their total width must equal L.
     """
-    regions = [(la0, la, jnp.asarray(ga, jnp.int32)) for (la0, la, ga) in regions]
-    for (la0, la, ga) in regions:
-        gs = jax.lax.dynamic_slice(g, (ga,), (la,))
-        g = jax.lax.dynamic_update_slice(g, gs + g_local[la0:la0 + la], (ga,))
-        for (lb0, lb, gb) in regions:
-            cur = jax.lax.dynamic_slice(H, (ga, gb), (la, lb))
-            H = jax.lax.dynamic_update_slice(
-                H, cur + H_local[la0:la0 + la, lb0:lb0 + lb], (ga, gb))
-    return H, g
+    C, rd, F = J.shape
+    segs = []
+    width = 0
+    for seg in segments:
+        if seg[0] == "run":
+            _, col0, nblk, td, blk_idx, wblk = seg
+            Jr = J[:, :, col0:col0 + nblk * td].reshape(C, rd, nblk, td)
+            tgt = blk_idx[:, None].astype(jnp.int32) + jnp.arange(nblk, dtype=jnp.int32)
+            oh = (tgt[:, :, None] == jnp.arange(wblk, dtype=jnp.int32)).astype(J.dtype)
+            Jw = jnp.einsum("mrkc,mkw->mrwc", Jr, oh)  # (C, rd, wblk, td)
+            segs.append(Jw.reshape(C, rd, wblk * td))
+            width += wblk * td
+        else:
+            _, col0, ncols = seg
+            segs.append(J[:, :, col0:col0 + ncols])
+            width += ncols
+    assert width == L, (width, L)
+    return jnp.concatenate(segs, axis=-1).reshape(C * rd, L), r.reshape(C * rd)
 
 
 def _chunk_arrays(arrs: dict, chunk: int, pad_values: dict):
@@ -655,7 +673,7 @@ def make_solver_functions(p: SplineProblem, layout, reproj_chunk: int | None = N
 
 
 def plan_fast_assembly(p: SplineProblem, obs_chunk: int = 16384,
-                       imu_chunk: int = 4096):
+                       imu_chunk: int = 1024):
     """Host-side planning for the chunk-local assembly: (plans, arrs).
 
     plans = (obs_plan, acc_plan, gyr_plan); arrs = dict of chunked
@@ -712,118 +730,121 @@ def make_fast_linearizer(p: SplineProblem, layout, plans,
         r = r * hw[:, None]
         J = J * hw[:, None, None]
         tail0 = 3 * obs_plan.w_s + 3 * obs_plan.w_r
-        parts = [
-            _local_win_idx(_clip_local(i_s, s_base, obs_plan.w_s), ORDER, 3, 0),
-            _local_win_idx(_clip_local(i_r, r_base, obs_plan.w_r), ORDER, 3,
-                           3 * obs_plan.w_s),
-            jnp.broadcast_to(jnp.arange(8, dtype=jnp.int32) + tail0,
-                             (i_s.shape[0], 8)),
+        segments = [
+            ("run", 0, ORDER, 3, _clip_local(i_s, s_base, obs_plan.w_s),
+             obs_plan.w_s),
+            ("run", 18, ORDER, 3, _clip_local(i_r, r_base, obs_plan.w_r),
+             obs_plan.w_r),
+            ("fixed", 36, 8),
         ]
         if p.n_points > 0:
-            pid = pc.obs_pt_id.astype(jnp.int32)
-            parts.append(tail0 + 8 + pid[:, None] * 3
-                         + jnp.arange(3, dtype=jnp.int32))
-        li = jnp.concatenate(parts, axis=1)
-        Jd, rf = _densify(r, J, li, L_obs)
-        H_l = Jd.T @ Jd
-        g_l = Jd.T @ rf
-        regions = [(0, 3 * obs_plan.w_s, 3 * (s_base - s_org)),
-                   (3 * obs_plan.w_s, 3 * obs_plan.w_r,
-                    off["t_r3"] + 3 * (r_base - r_org)),
-                   (tail0, 8, off["q_i_c"])]
-        if p.n_points > 0:
-            regions.append((tail0 + 8, np3, off["points"]))
-        return H_l, g_l, c, regions
+            segments.append(("run", 44, 1, 3, pc.obs_pt_id.astype(jnp.int32),
+                             p.n_points))
+        Jd, rf = _densify_segments(r, J, segments, L_obs)
+        return Jd.T @ Jd, Jd.T @ rf, c
 
     def _accel_chunk(params, ch, s_base, r_base, s_org=0, r_org=0):
         pc = p._replace(**ch)
         r, J, (i_s, i_r, i_b) = _accel_eval(params, pc, with_jac=True)
-        li = jnp.concatenate([
-            _local_win_idx(_clip_local(i_s, s_base, acc_plan.w_s), ORDER, 3, 0),
-            _local_win_idx(_clip_local(i_r, r_base, acc_plan.w_r), ORDER, 3,
-                           3 * acc_plan.w_s),
-            _local_win_idx(i_b.astype(jnp.int32), BIAS_ORDER, 3,
-                           3 * acc_plan.w_s + 3 * acc_plan.w_r),
-            jnp.broadcast_to(jnp.arange(9, dtype=jnp.int32)
-                             + 3 * acc_plan.w_s + 3 * acc_plan.w_r + nb3,
-                             (i_s.shape[0], 9)),
-        ], axis=1)
-        Jd, rf = _densify(r, J, li, L_acc)
-        H_l = Jd.T @ Jd
-        g_l = Jd.T @ rf
-        # gravity (3) + accl_intr (6) are contiguous locally but not globally.
-        regions = [(0, 3 * acc_plan.w_s, 3 * (s_base - s_org)),
-                   (3 * acc_plan.w_s, 3 * acc_plan.w_r,
-                    off["t_r3"] + 3 * (r_base - r_org)),
-                   (3 * acc_plan.w_s + 3 * acc_plan.w_r, nb3, off["bias_a"]),
-                   (3 * acc_plan.w_s + 3 * acc_plan.w_r + nb3, 3, off["gravity"]),
-                   (3 * acc_plan.w_s + 3 * acc_plan.w_r + nb3 + 3, 6,
-                    off["accl_intr"])]
-        return H_l, g_l, 0.5 * jnp.sum(r * r), regions
+        segments = [
+            ("run", 0, ORDER, 3, _clip_local(i_s, s_base, acc_plan.w_s),
+             acc_plan.w_s),
+            ("run", 18, ORDER, 3, _clip_local(i_r, r_base, acc_plan.w_r),
+             acc_plan.w_r),
+            ("run", 36, BIAS_ORDER, 3, i_b.astype(jnp.int32), p.n_bias),
+            ("fixed", 45, 9),
+        ]
+        Jd, rf = _densify_segments(r, J, segments, L_acc)
+        return Jd.T @ Jd, Jd.T @ rf, 0.5 * jnp.sum(r * r)
 
     def _gyro_chunk(params, ch, s_base, s_org=0):
         pc = p._replace(**ch)
         r, J, (i_s, i_b) = _gyro_eval(params, pc, with_jac=True)
-        li = jnp.concatenate([
-            _local_win_idx(_clip_local(i_s, s_base, gyr_plan.w_s), ORDER, 3, 0),
-            _local_win_idx(i_b.astype(jnp.int32), BIAS_ORDER, 3, 3 * gyr_plan.w_s),
-            jnp.broadcast_to(jnp.arange(9, dtype=jnp.int32) + 3 * gyr_plan.w_s + nb3,
-                             (i_s.shape[0], 9)),
-        ], axis=1)
-        Jd, rf = _densify(r, J, li, L_gyr)
-        H_l = Jd.T @ Jd
-        g_l = Jd.T @ rf
-        regions = [(0, 3 * gyr_plan.w_s, 3 * (s_base - s_org)),
-                   (3 * gyr_plan.w_s, nb3, off["bias_g"]),
-                   (3 * gyr_plan.w_s + nb3, 9, off["gyro_intr"])]
-        return H_l, g_l, 0.5 * jnp.sum(r * r), regions
+        segments = [
+            ("run", 0, ORDER, 3, _clip_local(i_s, s_base, gyr_plan.w_s),
+             gyr_plan.w_s),
+            ("run", 18, BIAS_ORDER, 3, i_b.astype(jnp.int32), p.n_bias),
+            ("fixed", 27, 9),
+        ]
+        Jd, rf = _densify_segments(r, J, segments, L_gyr)
+        return Jd.T @ Jd, Jd.T @ rf, 0.5 * jnp.sum(r * r)
+
+    def _region_idx(starts_list):
+        """(K, L) global tangent index per chunk-local coordinate.
+
+        starts_list: layout-ordered [(region_start (K,) or scalar, width)].
+        Scatter indices replace the old per-chunk dynamic-update-slice
+        accumulation, whose updates copied the full D x D carry each time
+        (~160 us x 224 updates = most of the old accumulate cost)."""
+        parts = [jnp.asarray(start, jnp.int32).reshape(-1, 1)
+                 + jnp.arange(width, dtype=jnp.int32)
+                 for start, width in starts_list]
+        K = max(pt.shape[0] for pt in parts)
+        return jnp.concatenate(
+            [jnp.broadcast_to(pt, (K, pt.shape[1])) for pt in parts], axis=1)
+
+    def _accumulate(H, g, Hls, gls, idx):
+        H = H.at[idx[:, :, None], idx[:, None, :]].add(Hls)
+        g = g.at[idx].add(gls)
+        return H, g
 
     def linearize(params, arrs, bases):
         D = layout.tangent_dim
         H = jnp.zeros((D, D), dtype)
         g = jnp.zeros((D,), dtype)
-        cost = jnp.zeros((), dtype)
         # Knot-window origin of the target H: 0 for the global layout;
         # the device's first owned-window knot for the knot-sharded local
         # layouts (parallel/schur.py).
         s_org = bases.get("s_org", 0)
         r_org = bases.get("r_org", 0)
 
-        def acc_body(carry, x):
-            Hc, gc, cc = carry
+        def acc_body(cc, x):
             ch, s_base, r_base = x
-            H_l, g_l, c, regions = _accel_chunk(params, ch, s_base, r_base,
-                                                s_org, r_org)
-            Hc, gc = _block_accumulate(Hc, gc, H_l, g_l, regions)
-            return (Hc, gc, cc + c), None
+            H_l, g_l, c = _accel_chunk(params, ch, s_base, r_base, s_org, r_org)
+            return cc + c, (H_l, g_l)
 
         acc_arrs = {k: arrs[k] for k in ("accel_t", "accel_meas", "accel_valid")}
-        (H, g, cost), _ = jax.lax.scan(
-            acc_body, (H, g, cost), (acc_arrs, bases["acc_s"], bases["acc_r"]))
+        cost, (Ha, ga) = jax.lax.scan(
+            acc_body, jnp.zeros((), dtype),
+            (acc_arrs, bases["acc_s"], bases["acc_r"]))
+        idx_a = _region_idx([
+            (3 * (bases["acc_s"] - s_org), 3 * acc_plan.w_s),
+            (off["t_r3"] + 3 * (bases["acc_r"] - r_org), 3 * acc_plan.w_r),
+            (off["bias_a"], nb3), (off["gravity"], 3), (off["accl_intr"], 6)])
+        H, g = _accumulate(H, g, Ha, ga, idx_a)
 
-        def gyr_body(carry, x):
-            Hc, gc, cc = carry
+        def gyr_body(cc, x):
             ch, s_base = x
-            H_l, g_l, c, regions = _gyro_chunk(params, ch, s_base, s_org)
-            Hc, gc = _block_accumulate(Hc, gc, H_l, g_l, regions)
-            return (Hc, gc, cc + c), None
+            H_l, g_l, c = _gyro_chunk(params, ch, s_base, s_org)
+            return cc + c, (H_l, g_l)
 
         gyr_arrs = {k: arrs[k] for k in ("gyro_t", "gyro_meas", "gyro_valid")}
-        (H, g, cost), _ = jax.lax.scan(
-            gyr_body, (H, g, cost), (gyr_arrs, bases["gyr_s"]))
+        c_g, (Hg, gg) = jax.lax.scan(gyr_body, jnp.zeros((), dtype),
+                                     (gyr_arrs, bases["gyr_s"]))
+        cost = cost + c_g
+        idx_g = _region_idx([
+            (3 * (bases["gyr_s"] - s_org), 3 * gyr_plan.w_s),
+            (off["bias_g"], nb3), (off["gyro_intr"], 9)])
+        H, g = _accumulate(H, g, Hg, gg, idx_g)
 
-        def obs_body(carry, x):
-            Hc, gc, cc = carry
+        def obs_body(cc, x):
             ch, s_base, r_base = x
-            H_l, g_l, c, regions = _reproj_chunk(params, ch, s_base, r_base,
-                                                 s_org, r_org)
-            Hc, gc = _block_accumulate(Hc, gc, H_l, g_l, regions)
-            return (Hc, gc, cc + c), None
+            H_l, g_l, c = _reproj_chunk(params, ch, s_base, r_base, s_org, r_org)
+            return cc + c, (H_l, g_l)
 
         obs_keys = tuple(_obs_fields(p).keys())
         obs_arrs = {k: arrs[k] for k in obs_keys}
-        (H, g, cost), _ = jax.lax.scan(
-            obs_body, (H, g, cost), (obs_arrs, bases["obs_s"], bases["obs_r"]))
+        c_o, (Ho, go) = jax.lax.scan(
+            obs_body, jnp.zeros((), dtype),
+            (obs_arrs, bases["obs_s"], bases["obs_r"]))
+        cost = cost + c_o
+        starts_o = [
+            (3 * (bases["obs_s"] - s_org), 3 * obs_plan.w_s),
+            (off["t_r3"] + 3 * (bases["obs_r"] - r_org), 3 * obs_plan.w_r),
+            (off["q_i_c"], 8)]
+        if p.n_points > 0:
+            starts_o.append((off["points"], np3))
+        H, g = _accumulate(H, g, Ho, go, _region_idx(starts_o))
 
         prior = _point_prior_eval(params, p, layout) if include_prior else None
         if prior is not None:
@@ -843,7 +864,7 @@ def plan_bases(plans) -> dict:
 
 
 def make_solver_functions_fast(p: SplineProblem, layout,
-                               obs_chunk: int = 16384, imu_chunk: int = 4096):
+                               obs_chunk: int = 16384, imu_chunk: int = 1024):
     """(linearize_fn, cost_fn) using chunk-local dense assembly (see above).
 
     Produces the same (H, g, cost) as :func:`make_solver_functions` (tested
@@ -1060,9 +1081,31 @@ def enable_board_points(p: SplineProblem, *, point_prior_std: float = 1e-3,
                       pt_prior_sqrt_info=jnp.asarray(W, dtype))
 
 
+def make_solve_fn(p: SplineProblem, layout, solver: str = "auto"):
+    """Damped-solve callable for lm.lm_optimize.
+
+    "auto"/"banded": block-tridiagonal-over-slabs + arrowhead Schur solve
+    (solver/banded.py) when the problem's measurement windows admit a slab
+    decomposition — the structured replacement for Ceres
+    SPARSE_NORMAL_CHOLESKY (impl.h:258). Returns None (lm's dense damped
+    Cholesky) when no decomposition exists or solver="dense".
+    """
+    if solver in ("auto", "banded"):
+        from openimucameracalibrator_tpu.solver import banded as banded_mod
+
+        struct = banded_mod.from_problem(layout, p, ORDER)
+        if struct is not None:
+            return banded_mod.make_banded_solver(struct)
+        if solver == "banded":
+            raise ValueError("problem admits no slab decomposition; use "
+                             "solver='auto' or 'dense'")
+    return None
+
+
 def optimize(p: SplineProblem, params0: dict, flags: frozenset = DEFAULT_FLAGS,
              max_iters: int = 50, config: lm.LMConfig | None = None,
-             reproj_chunk: int | None = None, method: str = "fast") -> lm.LMResult:
+             reproj_chunk: int | None = None, method: str = "fast",
+             solver: str = "auto") -> lm.LMResult:
     """Run LM on the full problem with the given free-parameter flags
     (SplineTrajectoryEstimator::Optimize, impl.h:254-276).
 
@@ -1071,13 +1114,15 @@ def optimize(p: SplineProblem, params0: dict, flags: frozenset = DEFAULT_FLAGS,
     """
     cfg = config or lm.LMConfig(max_iters=max_iters, ftol=1e-4)  # ftol impl.h:267
     return optimize_stages(p, params0, [(flags, cfg.max_iters)], config=cfg,
-                           method=method, reproj_chunk=reproj_chunk)[-1]
+                           method=method, reproj_chunk=reproj_chunk,
+                           solver=solver)[-1]
 
 
 def optimize_stages(p: SplineProblem, params0: dict, stages,
                     config: lm.LMConfig | None = None, method: str = "fast",
                     reproj_chunk: int | None = None,
-                    checkpoint_dir: str | None = None) -> list:
+                    checkpoint_dir: str | None = None,
+                    solver: str = "auto") -> list:
     """Run a SCHEDULE of LM stages with ONE compiled solver.
 
     ``stages``: list of (flags, max_iters). The free-parameter mask and the
@@ -1101,6 +1146,7 @@ def optimize_stages(p: SplineProblem, params0: dict, stages,
         lin, cost = make_solver_functions_fast(p, layout)
     else:
         lin, cost = make_solver_functions(p, layout, reproj_chunk=reproj_chunk)
+    solve_fn = make_solve_fn(p, layout, solver)
     base_cfg = config or lm.LMConfig(ftol=1e-4)
 
     if checkpoint_dir:
@@ -1119,7 +1165,8 @@ def optimize_stages(p: SplineProblem, params0: dict, stages,
     @jax.jit
     def run(prm, mask, iters):
         cfg = base_cfg._replace(max_iters=iters)
-        return lm.lm_optimize(lin, cost, layout.retract, prm, mask, cfg)
+        return lm.lm_optimize(lin, cost, layout.retract, prm, mask, cfg,
+                              solve_fn=solve_fn)
 
     results = []
     params = params0

@@ -28,8 +28,23 @@ struct Stream {
   int channels = 0;
 };
 
+// Per-stream device-clock state: GoPro streams carry STMP (us since boot,
+// HERO7+) or TICK (ms, older models) per payload and TSMP (cumulative
+// sample count). When present, intra-stream timing uses the device clock
+// anchored at the first payload's MP4 time — robust against container
+// jitter (gpmf-parser's approach); otherwise fall back to MP4 stts times.
+struct TimeState {
+  bool has_first = false;
+  double first_dev_t = 0.0;  // device clock of first payload (s)
+  double first_mp4_t = 0.0;  // MP4 time of first payload (s)
+  bool has_prev_tsmp = false;
+  uint64_t prev_tsmp = 0;
+  uint64_t dropped = 0;  // cumulative samples lost per TSMP accounting
+};
+
 struct Reader {
   std::map<std::string, Stream> streams;
+  std::map<std::string, TimeState> tstate;
   std::vector<double> frame_times;
   std::string error;
 };
@@ -115,31 +130,40 @@ bool read_klv(Buf b, size_t off, Klv* k) {
   return true;
 }
 
-// One STRM container: find SCAL and the sensor leaf (the last non-metadata
-// numeric leaf, per GPMF convention), append scaled samples.
+// One STRM container: find SCAL + timing metadata (STMP/TICK/TSMP) and
+// the sensor leaf (the last non-metadata numeric leaf, per GPMF
+// convention), append scaled samples.
 void parse_strm(Reader* r, Buf strm, double t0, double dur) {
   std::vector<double> scal;
   Klv sensor{};
   bool have_sensor = false;
+  double stmp = -1.0;    // us since device boot (HERO7+), type 'J'
+  double tick = -1.0;    // ms tick (older models), type 'L'
+  double tsmp = -1.0;    // cumulative sample count incl. this payload
   static const char* kMeta[] = {"STNM", "SIUN", "UNIT", "SCAL", "TSMP",
                                 "TIMO", "STMP", "TMPC", "ORIN", "ORIO",
                                 "MTRX", "TYPE", "TICK", "TOCK", "DVNM"};
   size_t off = 0;
   Klv k;
   while (off < strm.n && read_klv(strm, off, &k)) {
+    int ts = type_size(k.type);
     if (std::strcmp(k.key, "SCAL") == 0) {
-      int ts = type_size(k.type);
       if (ts > 0) {
         size_t cnt = k.data_len / ts;
         scal.clear();
         for (size_t i = 0; i < cnt; ++i)
           scal.push_back(read_scalar(k.data + i * ts, k.type));
       }
+    } else if (std::strcmp(k.key, "STMP") == 0 && ts > 0 && k.repeat > 0) {
+      stmp = read_scalar(k.data, k.type);
+    } else if (std::strcmp(k.key, "TICK") == 0 && ts > 0 && k.repeat > 0) {
+      tick = read_scalar(k.data, k.type);
+    } else if (std::strcmp(k.key, "TSMP") == 0 && ts > 0 && k.repeat > 0) {
+      tsmp = read_scalar(k.data, k.type);
     } else {
       bool meta = false;
       for (const char* m : kMeta)
         if (std::strcmp(k.key, m) == 0) { meta = true; break; }
-      int ts = type_size(k.type);
       if (!meta && ts > 0 && k.repeat > 0 && k.ssize >= ts) {
         sensor = k;
         have_sensor = true;
@@ -156,8 +180,37 @@ void parse_strm(Reader* r, Buf strm, double t0, double dur) {
   if (s.channels == 0) s.channels = channels;
   if (s.channels != channels) return;  // inconsistent stream; skip payload
   int n = sensor.repeat;
+
+  // Payload start: device clock (STMP/TICK) anchored at the first
+  // payload's MP4 time when available, else the MP4 sample time.
+  double base = t0;
+  if (stmp >= 0.0 || tick >= 0.0) {
+    double dev_t = stmp >= 0.0 ? stmp * 1e-6 : tick * 1e-3;
+    TimeState& st = r->tstate[sensor.key];
+    if (!st.has_first) {
+      st.has_first = true;
+      st.first_dev_t = dev_t;
+      st.first_mp4_t = t0;
+    }
+    base = st.first_mp4_t + (dev_t - st.first_dev_t);
+  }
+  // TSMP sample accounting: repeat should equal tsmp_now - tsmp_prev;
+  // a larger delta means the camera dropped samples between payloads
+  // (tracked; timing stays anchored to STMP/MP4, so later samples are
+  // not skewed by the gap).
+  if (tsmp >= 0.0) {
+    TimeState& st = r->tstate[sensor.key];
+    uint64_t now = uint64_t(tsmp);
+    if (st.has_prev_tsmp && now > st.prev_tsmp) {
+      uint64_t delivered = now - st.prev_tsmp;
+      if (delivered > uint64_t(n)) st.dropped += delivered - uint64_t(n);
+    }
+    st.prev_tsmp = now;
+    st.has_prev_tsmp = true;
+  }
+
   for (int i = 0; i < n; ++i) {
-    s.times.push_back(t0 + dur * (double(i) / double(n)));
+    s.times.push_back(base + dur * (double(i) / double(n)));
     for (int c = 0; c < channels; ++c) {
       double v = read_scalar(sensor.data + size_t(i) * sensor.ssize + c * ts,
                              sensor.type);
@@ -444,6 +497,14 @@ int gpmf_frame_times(void* h, double* times) {
   std::memcpy(times, r->frame_times.data(),
               r->frame_times.size() * sizeof(double));
   return 0;
+}
+
+// Cumulative dropped-sample count per TSMP accounting (0 when the
+// stream carries no TSMP or nothing was lost).
+long long gpmf_stream_dropped(void* h, const char* fourcc) {
+  auto* r = static_cast<Reader*>(h);
+  auto it = r->tstate.find(fourcc);
+  return it == r->tstate.end() ? 0 : (long long)it->second.dropped;
 }
 
 void gpmf_close(void* h) { delete static_cast<Reader*>(h); }

@@ -9,7 +9,7 @@ import numpy as np
 import pytest
 
 from openimucameracalibrator_tpu.core import gpmf
-from openimucameracalibrator_tpu.utils import native
+from openimucameracalibrator_tpu.utils import mp4_writer, native
 
 
 def klv(key: bytes, type_c: bytes, ssize: int, repeat: int, data: bytes) -> bytes:
@@ -193,3 +193,111 @@ def test_read_gopro_mp4_gps(tmp_path):
     np.testing.assert_allclose(tel.gps.precision, 180.0, atol=1e-3)
     np.testing.assert_allclose(tel.gps.times[1] - tel.gps.times[0],
                                1.0 / gps_hz, atol=1e-9)
+
+
+def test_spec_transcribed_gopro9_payloads(tmp_path):
+    """Parse GPMF payloads the repo's own muxer did NOT write: byte
+    layouts hand-transcribed from the published GPMF spec in GoPro9 style
+    — STMP (us device clock, 'J'), TSMP (cumulative count, 'L'), ORIN/
+    ORIO, per-channel VECTOR SCAL, int16 sensor data (VERDICT r2 item 8).
+    Verifies: vector SCAL application, STMP-anchored payload timing (a
+    payload whose STMP drifts from the MP4 clock lands at the STMP time),
+    and TSMP dropped-sample accounting."""
+    import struct
+
+    def klv(key, tc, ssize, repeat, data):
+        pad = (-len(data)) % 4
+        return (key + tc + bytes([ssize]) + struct.pack(">H", repeat)
+                + data + b"\x00" * pad)
+
+    def nest(key, children):
+        inner = b"".join(children)
+        return klv(key, b"\x00", 1, len(inner), inner)
+
+    hz = 100
+    n = hz  # samples per 1 s payload
+    raw = np.zeros((2 * n, 3), np.int16)
+    raw[:, 0] = np.arange(2 * n) % 400        # "z" counts
+    raw[:, 1] = 418                            # "x"
+    raw[:, 2] = -209                           # "y"
+    scal = np.asarray([418, 209, 100], np.int32)  # per-channel divisors
+
+    def accl_strm(k, stmp_us, tsmp):
+        sel = raw[k * n:(k + 1) * n]
+        return nest(b"STRM", [
+            klv(b"STMP", b"J", 8, 1, struct.pack(">Q", stmp_us)),
+            klv(b"TSMP", b"L", 4, 1, struct.pack(">L", tsmp)),
+            klv(b"STNM", b"c", 1, 34, b"Accelerometer (up/down, right/left)"[:34]),
+            klv(b"ORIN", b"c", 1, 3, b"ZXY"),
+            klv(b"ORIO", b"c", 1, 3, b"YxZ"),
+            klv(b"SIUN", b"c", 1, 5, b"m/s\xb2\x00"),
+            klv(b"SCAL", b"l", 4, 3, struct.pack(">3l", *scal)),
+            klv(b"ACCL", b"s", 6, n, sel.astype(">i2").tobytes()),
+        ])
+
+    # Payload 2's STMP drifts +20 ms past the MP4 clock; TSMP claims 10
+    # more samples than delivered (a camera-side drop).
+    payloads = [
+        nest(b"DEVC", [klv(b"DVID", b"L", 4, 1, struct.pack(">L", 1)),
+                       klv(b"DVNM", b"c", 1, 6, b"Hero9 "),
+                       accl_strm(0, 500_000, n)]),
+        nest(b"DEVC", [klv(b"DVID", b"L", 4, 1, struct.pack(">L", 1)),
+                       klv(b"DVNM", b"c", 1, 6, b"Hero9 "),
+                       accl_strm(1, 1_520_000, 2 * n + 10)]),
+    ]
+    frame = mp4_writer.encode_jpeg(np.zeros((16, 16), np.uint8))
+    path = str(tmp_path / "spec.mp4")
+    mp4_writer.write_mp4(path, [frame] * 60, 16, 16, 30.0, payloads,
+                         payload_duration_s=1.0)
+
+    with gpmf.GpmfFile(path) as f:
+        assert "ACCL" in f.stream_names()
+        t, v = f.stream("ACCL")
+        assert v.shape == (2 * n, 3)
+        # Vector SCAL: per-channel divisors applied.
+        np.testing.assert_allclose(v[:, 1], 418 / 209.0, atol=1e-12)
+        np.testing.assert_allclose(v[:, 2], -209 / 100.0, atol=1e-12)
+        np.testing.assert_allclose(v[:, 0], (np.arange(2 * n) % 400) / 418.0,
+                                   atol=1e-12)
+        # STMP anchoring: payload 1 starts at MP4 t=0; payload 2 at
+        # 0 + (1.52s - 0.5s) = 1.02 s, NOT the MP4 sample time 1.00 s.
+        assert abs(t[0] - 0.0) < 1e-9
+        assert abs(t[n] - 1.02) < 1e-9
+        # TSMP accounting: 10 samples lost between payloads.
+        assert f.stream_dropped("ACCL") == 10
+        assert f.stream_dropped("GYRO") == 0
+
+
+def test_tick_based_timing(tmp_path):
+    """Older-camera TICK (ms, 'L') timing path: payload start follows the
+    tick clock anchored at the first payload (gpmf-parser behavior)."""
+    import struct
+
+    def klv(key, tc, ssize, repeat, data):
+        pad = (-len(data)) % 4
+        return (key + tc + bytes([ssize]) + struct.pack(">H", repeat)
+                + data + b"\x00" * pad)
+
+    def nest(key, children):
+        inner = b"".join(children)
+        return klv(key, b"\x00", 1, len(inner), inner)
+
+    n = 50
+    def strm(tick_ms):
+        data = np.full((n, 3), 1000, np.int16)
+        return nest(b"STRM", [
+            klv(b"TICK", b"L", 4, 1, struct.pack(">L", tick_ms)),
+            klv(b"SCAL", b"s", 2, 1, struct.pack(">h", 100)),
+            klv(b"GYRO", b"s", 6, n, data.astype(">i2").tobytes()),
+        ])
+
+    payloads = [nest(b"DEVC", [strm(7000)]), nest(b"DEVC", [strm(8050)])]
+    frame = mp4_writer.encode_jpeg(np.zeros((16, 16), np.uint8))
+    path = str(tmp_path / "tick.mp4")
+    mp4_writer.write_mp4(path, [frame] * 60, 16, 16, 30.0, payloads,
+                         payload_duration_s=1.0)
+    with gpmf.GpmfFile(path) as f:
+        t, v = f.stream("GYRO")
+        np.testing.assert_allclose(v, 10.0, atol=1e-12)
+        assert abs(t[0] - 0.0) < 1e-9
+        assert abs(t[n] - 1.05) < 1e-9  # 8050 ms - 7000 ms after anchor

