@@ -37,7 +37,7 @@ TIME_OFFSET = -0.0813
 
 # Bump when the solver code path changes materially (invalidates the
 # measured-once caches, since both sides of vs_baseline share the code).
-SOLVER_VERSION = "r3.1-densify-segments+banded-arrow"
+SOLVER_VERSION = "r3.2-densify-segments+chunk-sweep"
 
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "bench_cache")
@@ -140,7 +140,7 @@ def _timed_lm(problem, params0, iters, solver="auto"):
 
     layout = se.build_layout(problem)
     flags = se.DEFAULT_FLAGS | {se.CAM_LINE_DELAY, se.TIME_OFFSET}
-    lin, cost = se.make_solver_functions_fast(problem, layout, obs_chunk=16384)
+    lin, cost = se.make_solver_functions_fast(problem, layout)
     solve_fn = se.make_solve_fn(problem, layout, solver)
     mask = layout.free_mask(fixed=se.flags_to_fixed(flags))
     cfg = lm.LMConfig(max_iters=iters, ftol=0.0)
@@ -169,7 +169,7 @@ def measure_breakdown(problem, params0):
     from openimucameracalibrator_tpu.solver import lm
 
     layout = se.build_layout(problem)
-    lin, cost = se.make_solver_functions_fast(problem, layout, obs_chunk=16384)
+    lin, cost = se.make_solver_functions_fast(problem, layout)
     solve_fn = se.make_solve_fn(problem, layout, "auto") or lm._solve_damped
 
     def best_of(fn, *args, n=3):

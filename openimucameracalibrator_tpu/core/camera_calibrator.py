@@ -239,10 +239,28 @@ def calibrate_camera(dataset: CornerDataset, model_name: str,
         return m
 
     # Stage 1: focal + distortion + poses (camera_calibrator.cc:146-162).
+    # Double-sphere multi-start: the (f, xi) pair has near-equivalent
+    # solution families over a finite FOV (the reference carries a special
+    # DS initializer for the same reason, intrinsic_initializer.cc:138-296).
+    # Seed xi in {-0.25, 0, +0.25} with the focal rescaled to keep the
+    # near-axis magnification f/(1+xi) fixed, and keep the lowest-cost
+    # stage-1 solution — all starts reuse the one compiled stage.
     mask1 = layout.free_mask(fixed=["pts"],
                              partial_masks={"cam": cam_mask(groups["focal"] + groups["dist"])})
-    params, cost, it1 = _run_ba_stage(params, mask1, view_w, obs, valid,
-                                      model.name, opts.max_iters)
+    starts = [params]
+    if model.name == "double_sphere":
+        for xi0 in (-0.25, 0.25):
+            cam_alt = cam0.at[4].set(xi0)
+            cam_alt = cam_alt.at[0].set(cam0[0] * (1 + xi0))
+            cam_alt = cam_alt.at[1].set(cam0[1] * (1 + xi0))
+            starts.append(dict(params, cam=cam_alt))
+    best = None
+    for cand in starts:
+        out = _run_ba_stage(cand, mask1, view_w, obs, valid,
+                            model.name, opts.max_iters)
+        if best is None or float(out[1]) < float(best[1]):
+            best = out
+    params, cost, it1 = best
     rmse, _ = _per_view_rmse(params, obs, valid, model.name)
     view_w = view_w * (rmse < opts.stage1_prune_px)
 

@@ -375,8 +375,16 @@ def _gyro_r_and_idx(params, p: SplineProblem, layout, with_jac: bool):
     return r, J, idx
 
 
-def _reproj_eval(params, p: SplineProblem, with_jac: bool):
-    """(r, J, (i_s, i_r)) for all reprojection observations."""
+def _reproj_eval(params, p: SplineProblem, with_jac: bool,
+                 jac_mode: str = "rev"):
+    """(r, J, (i_s, i_r)) for all reprojection observations.
+
+    ``jac_mode``: "rev" (jacrev — faster on TPU: 2 residual rows vs 44
+    tangent dims) for single-device use; "fwd" (jacfwd) inside shard_map
+    bodies — reverse-mode under shard_map miscompiles on the XLA:CPU
+    backend (observed: in-shard J off by 1e9 while residuals match;
+    forward-mode is bit-correct there).
+    """
     ld = params["line_delay"][0]
     toff = params["time_offset"][0]
     t_cap0 = p.obs_t + jax.lax.stop_gradient(toff) + (
@@ -413,13 +421,15 @@ def _reproj_eval(params, p: SplineProblem, with_jac: bool):
     r = r * w[:, None]
     J = None
     if with_jac:
-        J = jax.vmap(lambda *a: jax.jacrev(res)(d0, *a), in_axes=in_axes)(*args)
+        jac = jax.jacrev if jac_mode == "rev" else jax.jacfwd
+        J = jax.vmap(lambda *a: jac(res)(d0, *a), in_axes=in_axes)(*args)
         J = J * w[:, None, None]
     return r, J, (i_s, i_r)
 
 
-def _reproj_r_and_idx(params, p: SplineProblem, layout, with_jac: bool):
-    r, J, (i_s, i_r) = _reproj_eval(params, p, with_jac)
+def _reproj_r_and_idx(params, p: SplineProblem, layout, with_jac: bool,
+                      jac_mode: str = "rev"):
+    r, J, (i_s, i_r) = _reproj_eval(params, p, with_jac, jac_mode)
     parts = [
         _win_idx(layout, "q_so3", i_s, ORDER),
         _win_idx(layout, "t_r3", i_r, ORDER),
@@ -606,7 +616,7 @@ def _chunk_arrays(arrs: dict, chunk: int, pad_values: dict):
 
 
 def make_solver_functions(p: SplineProblem, layout, reproj_chunk: int | None = None,
-                          include_prior: bool = True):
+                          include_prior: bool = True, jac_mode: str = "rev"):
     """(linearize_fn, cost_fn) for lm.lm_optimize, both jit-traceable.
 
     ``reproj_chunk``: if set, reprojection blocks are assembled in a
@@ -648,7 +658,8 @@ def make_solver_functions(p: SplineProblem, layout, reproj_chunk: int | None = N
             cost = cost + 0.5 * jnp.sum(rq * rq)
 
         if reproj_chunk is None:
-            rp, Jp, ip = _reproj_r_and_idx(params, p, layout, with_jac=True)
+            rp, Jp, ip = _reproj_r_and_idx(params, p, layout, with_jac=True,
+                                            jac_mode=jac_mode)
             hw = robust.huber_sqrt_weights(rp.reshape(-1), HUBER_PX, group_size=2)
             hw = hw.reshape(rp.shape)[:, 0]
             H, g = _scatter(H, g, rp, Jp, ip, sqrt_w=hw)
@@ -659,7 +670,8 @@ def make_solver_functions(p: SplineProblem, layout, reproj_chunk: int | None = N
             def body(carry, ch):
                 Hc, gc, cc = carry
                 pc = p._replace(**ch)
-                rp, Jp, ip = _reproj_r_and_idx(params, pc, layout, with_jac=True)
+                rp, Jp, ip = _reproj_r_and_idx(params, pc, layout, with_jac=True,
+                                                jac_mode=jac_mode)
                 hw = robust.huber_sqrt_weights(rp.reshape(-1), HUBER_PX, group_size=2)
                 hw = hw.reshape(rp.shape)[:, 0]
                 Hc, gc = _scatter(Hc, gc, rp, Jp, ip, sqrt_w=hw)
@@ -672,8 +684,8 @@ def make_solver_functions(p: SplineProblem, layout, reproj_chunk: int | None = N
     return linearize_fn, cost_fn
 
 
-def plan_fast_assembly(p: SplineProblem, obs_chunk: int = 16384,
-                       imu_chunk: int = 1024):
+def plan_fast_assembly(p: SplineProblem, obs_chunk: int = 2048,
+                       imu_chunk: int = 256):
     """Host-side planning for the chunk-local assembly: (plans, arrs).
 
     plans = (obs_plan, acc_plan, gyr_plan); arrs = dict of chunked
@@ -698,7 +710,7 @@ def plan_fast_assembly(p: SplineProblem, obs_chunk: int = 16384,
 
 
 def make_fast_linearizer(p: SplineProblem, layout, plans,
-                         include_prior: bool = True):
+                         include_prior: bool = True, jac_mode: str = "rev"):
     """Traced chunk-local linearizer: ``lin(params, arrs, bases) -> (H, g, cost)``.
 
     ``arrs`` is the chunked-array dict from :func:`plan_fast_assembly` (or a
@@ -723,7 +735,8 @@ def make_fast_linearizer(p: SplineProblem, layout, plans,
 
     def _reproj_chunk(params, ch, s_base, r_base, s_org=0, r_org=0):
         pc = p._replace(**ch)
-        r, J, (i_s, i_r) = _reproj_eval(params, pc, with_jac=True)
+        r, J, (i_s, i_r) = _reproj_eval(params, pc, with_jac=True,
+                                        jac_mode=jac_mode)
         c = robust.huber_cost(r.reshape(-1), HUBER_PX, group_size=2)
         hw = robust.huber_sqrt_weights(r.reshape(-1), HUBER_PX, group_size=2)
         hw = hw.reshape(r.shape)[:, 0]
@@ -864,13 +877,15 @@ def plan_bases(plans) -> dict:
 
 
 def make_solver_functions_fast(p: SplineProblem, layout,
-                               obs_chunk: int = 16384, imu_chunk: int = 1024):
+                               obs_chunk: int = 2048, imu_chunk: int = 256):
     """(linearize_fn, cost_fn) using chunk-local dense assembly (see above).
 
     Produces the same (H, g, cost) as :func:`make_solver_functions` (tested
-    to numerical precision) but runs ~50x faster inside the LM loop on TPU:
-    the only scatters left are small per-chunk Jacobian densifications; all
-    accumulation is MXU matmuls + dense block updates.
+    to numerical precision) but orders of magnitude faster inside the LM
+    loop on TPU: block-one-hot matmul densification (no large scatters),
+    per-chunk MXU Gram matrices, one global scatter-add per family. Chunk
+    defaults swept on a real v5e at GoPro-DS3 scale (obs 2048 / imu 256:
+    124 ms per linearize vs 377 ms for the r2 design).
     """
     plans, arrs = plan_fast_assembly(p, obs_chunk, imu_chunk)
     lin = make_fast_linearizer(p, layout, plans)
@@ -1081,15 +1096,28 @@ def enable_board_points(p: SplineProblem, *, point_prior_std: float = 1e-3,
                       pt_prior_sqrt_info=jnp.asarray(W, dtype))
 
 
+# Below this tangent dimension the dense damped Cholesky wins on TPU:
+# measured at D=5723 (GoPro9-DS3 scale) dense = 31 ms vs banded = 50 ms —
+# the ~110-step sequential slab scan is latency-bound while the one-shot
+# dense factorization keeps the MXU busy, and the f32 block recurrences
+# lose accuracy the dense+refinement path keeps. The banded path is for
+# the multi-sequence / long-recording regime where D^3 becomes real.
+BANDED_MIN_DIM = 12000
+
+
 def make_solve_fn(p: SplineProblem, layout, solver: str = "auto"):
     """Damped-solve callable for lm.lm_optimize.
 
-    "auto"/"banded": block-tridiagonal-over-slabs + arrowhead Schur solve
-    (solver/banded.py) when the problem's measurement windows admit a slab
-    decomposition — the structured replacement for Ceres
-    SPARSE_NORMAL_CHOLESKY (impl.h:258). Returns None (lm's dense damped
-    Cholesky) when no decomposition exists or solver="dense".
+    "banded" (or "auto" at large D): block-tridiagonal-over-slabs +
+    arrowhead Schur solve (solver/banded.py) when the problem's
+    measurement windows admit a slab decomposition — the structured
+    replacement for Ceres SPARSE_NORMAL_CHOLESKY (impl.h:258). Returns
+    None (lm's dense damped Cholesky) when dense is faster
+    (D < BANDED_MIN_DIM under "auto"), no decomposition exists, or
+    solver="dense".
     """
+    if solver == "auto" and layout.tangent_dim < BANDED_MIN_DIM:
+        return None
     if solver in ("auto", "banded"):
         from openimucameracalibrator_tpu.solver import banded as banded_mod
 

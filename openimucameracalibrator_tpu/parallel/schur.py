@@ -259,8 +259,10 @@ def make_schur_solver_functions(p: se.SplineProblem, mesh: Mesh,
     plans = (se.ChunkPlan(k_obs, obs_chunk, pl_o[0], pl_o[1], dummy, dummy),
              se.ChunkPlan(k_acc, imu_chunk, pl_a[0], pl_a[1], dummy, dummy),
              se.ChunkPlan(k_gyr, imu_chunk, pl_g[0], 0, dummy, dummy))
+    # jac_mode='fwd': reverse-mode AD under shard_map miscompiles on
+    # XLA:CPU (see se._reproj_eval docstring).
     lin_local = se.make_fast_linearizer(p, part.layout_loc, plans,
-                                        include_prior=False)
+                                        include_prior=False, jac_mode="fwd")
 
     sh = NamedSharding(mesh, P(axis))
     arrs = {f: jax.device_put(jnp.asarray(v), sh)

@@ -134,38 +134,18 @@ def make_banded_solver(struct: SlabStructure):
     K, smax = struct.idx.shape
     De = int(struct.tail.shape[0])
 
-    def _factor_solve(Hd, R_slab, R_tail, CT):
-        """Solve the full arrow system for stacked rhs.
+    def _band_sub(Ls, Lsubs, R):
+        """Forward+backward substitution through the block-bidiagonal
+        Cholesky factor for stacked rhs R (K, smax, m)."""
+        dt = R.dtype
 
-        Hd: (D, D) damped scaled matrix. R_slab: (K, smax, m) slab rows of
-        the rhs. R_tail: (De, m). CT: (K, smax, De) slab-tail coupling.
-        Returns (X_slab (K, smax, m), X_tail (De, m)).
-        """
-        dt = Hd.dtype
-        v = vmask.astype(dt)
-        # Gather slab blocks (static index arrays -> XLA gathers).
-        A = Hd[idx[:, :, None], idx[:, None, :]]
-        A = A * v[:, :, None] * v[:, None, :] \
-            + jnp.eye(smax, dtype=dt) * (1.0 - v)[:, :, None]
-        B = Hd[idx[1:, :, None], idx[:-1, None, :]]
-        B = B * v[1:, :, None] * v[:-1, None, :]
-        B = jnp.concatenate([jnp.zeros((1, smax, smax), dt), B], axis=0)
+        def fwd(y_prev, x):
+            Lk, Lsub_k, r_k = x
+            y_k = _tri_solve(Lk, r_k - Lsub_k @ y_prev, lower=True)
+            return y_k, y_k
 
-        Rs = R_slab * v[:, :, None]
-        # Augment: solve for [C | rhs] together (Schur needs T^{-1} C too).
-        RA = jnp.concatenate([CT * v[:, :, None], Rs], axis=-1)  # (K,smax,De+m)
-
-        def fwd(carry, x):
-            L_prev, y_prev = carry
-            A_k, B_k, r_k = x
-            Lsub = _tri_solve(L_prev, B_k.T, lower=True).T  # B_k L_prev^{-T}
-            Lk = jnp.linalg.cholesky(A_k - Lsub @ Lsub.T)
-            y_k = _tri_solve(Lk, r_k - Lsub @ y_prev, lower=True)
-            return (Lk, y_k), (Lk, Lsub, y_k)
-
-        m = RA.shape[-1]
-        init = (jnp.eye(smax, dtype=dt), jnp.zeros((smax, m), dt))
-        _, (Ls, Lsubs, Ys) = jax.lax.scan(fwd, init, (A, B, RA))
+        m = R.shape[-1]
+        _, Ys = jax.lax.scan(fwd, jnp.zeros((smax, m), dt), (Ls, Lsubs, R))
 
         def bwd(x_next, xk):
             Lk, Lsub_next, y_k = xk
@@ -178,17 +158,48 @@ def make_banded_solver(struct: SlabStructure):
                                      jnp.zeros((1, smax, smax), dt)], axis=0)
         _, Xs = jax.lax.scan(bwd, jnp.zeros((smax, m), dt),
                              (Ls, Lsub_next, Ys), reverse=True)
-        Xs = Xs * v[:, :, None]
+        return Xs * vmask.astype(dt)[:, :, None]
 
-        Xc, Xr = Xs[..., :De], Xs[..., De:]
-        # Schur complement on the tail.
+    def _factor(Hd):
+        """Factor once: block-tridiagonal Cholesky of the slab system plus
+        the tail Schur complement. Returns everything substitution needs."""
+        dt = Hd.dtype
+        v = vmask.astype(dt)
+        # Gather slab blocks (static index arrays -> XLA gathers).
+        A = Hd[idx[:, :, None], idx[:, None, :]]
+        A = A * v[:, :, None] * v[:, None, :] \
+            + jnp.eye(smax, dtype=dt) * (1.0 - v)[:, :, None]
+        B = Hd[idx[1:, :, None], idx[:-1, None, :]]
+        B = B * v[1:, :, None] * v[:-1, None, :]
+        B = jnp.concatenate([jnp.zeros((1, smax, smax), dt), B], axis=0)
+
+        def fwd(L_prev, x):
+            A_k, B_k = x
+            Lsub = _tri_solve(L_prev, B_k.T, lower=True).T  # B_k L_prev^{-T}
+            Lk = jnp.linalg.cholesky(A_k - Lsub @ Lsub.T)
+            return Lk, (Lk, Lsub)
+
+        _, (Ls, Lsubs) = jax.lax.scan(fwd, jnp.eye(smax, dtype=dt), (A, B))
+
+        CT = Hd[idx[:, :, None], tail[None, None, :]] * v[:, :, None]
+        Xc = _band_sub(Ls, Lsubs, CT)           # T^{-1} C
         E = Hd[tail[:, None], tail[None, :]]
-        S = E - jnp.einsum("ksd,kse->de", CT * v[:, :, None], Xc)
-        rhs_t = R_tail - jnp.einsum("ksd,ksm->dm", CT * v[:, :, None], Xr)
-        Lt, low = jax.scipy.linalg.cho_factor(S, lower=True)
-        Xt = jax.scipy.linalg.cho_solve((Lt, low), rhs_t)
+        S = E - jnp.einsum("ksd,kse->de", CT, Xc)
+        Lt = jax.scipy.linalg.cho_factor(S, lower=True)
+        return Ls, Lsubs, CT, Xc, Lt
+
+    def _substitute(factors, b):
+        Ls, Lsubs, CT, Xc, Lt = factors
+        dt = b.dtype
+        Rs = (b[idx] * vmask.astype(dt))[:, :, None]
+        Xr = _band_sub(Ls, Lsubs, Rs)
+        rhs_t = b[tail][:, None] - jnp.einsum("ksd,ksm->dm", CT, Xr)
+        Xt = jax.scipy.linalg.cho_solve(Lt, rhs_t)
         Xb = Xr - jnp.einsum("ksd,dm->ksm", Xc, Xt)
-        return Xb, Xt
+        y = jnp.zeros((struct.tangent_dim,), dt)
+        y = y.at[idx].add(Xb[..., 0] * vmask.astype(dt))
+        y = y.at[tail].set(Xt[..., 0])
+        return y
 
     def solve_fn(H, g, lam):
         dt = H.dtype
@@ -198,24 +209,12 @@ def make_banded_solver(struct: SlabStructure):
         Hd = Hs + lam * jnp.eye(H.shape[0], dtype=dt)
         b = -(s * g)
 
-        CT = Hd[idx[:, :, None], tail[None, None, :]]
-        Rs = b[idx][:, :, None]
-        Rt = b[tail][:, None]
-        Xb, Xt = _factor_solve(Hd, Rs, Rt, CT)
-
-        def scatter_back(Xb_m, Xt_m):
-            y = jnp.zeros((struct.tangent_dim,), dt)
-            y = y.at[idx].add(Xb_m[..., 0] * vmask.astype(dt))
-            y = y.at[tail].set(Xt_m[..., 0])
-            return y
-
-        y = scatter_back(Xb, Xt)
-        # One iterative-refinement pass against the same structure
+        factors = _factor(Hd)
+        y = _substitute(factors, b)
+        # One iterative-refinement pass REUSING the factorization
         # (mirrors lm._solve_damped's refinement; recovers f32 bits).
         r = Hd @ y - b
-        Xb2, Xt2 = _factor_solve(Hd, (-r)[idx][:, :, None], (-r)[tail][:, None],
-                                 CT)
-        y = y + scatter_back(Xb2, Xt2)
+        y = y + _substitute(factors, -r)
         return s * y
 
     return solve_fn

@@ -89,12 +89,16 @@ def test_banded_solve_matches_dense():
         assert float(jnp.max(jnp.abs(d_ref - d_band))) < 1e-8 * max(scale, 1)
 
 
-def test_optimize_auto_uses_banded_and_matches_dense():
+def test_optimize_banded_solver_matches_dense():
     p, params = _problem(mo=360, ma=200)
     layout = se.build_layout(p)
     assert banded.from_problem(layout, p, se.ORDER) is not None
+    # "auto" picks dense below BANDED_MIN_DIM (measured faster on TPU);
+    # force the banded path to pin LM-loop equality.
+    assert se.make_solve_fn(p, layout, "auto") is None
     cfg = lm.LMConfig(max_iters=3, ftol=0.0)
-    r_band = se.optimize(p, params, config=cfg, method="scatter", solver="auto")
+    r_band = se.optimize(p, params, config=cfg, method="scatter",
+                         solver="banded")
     r_dense = se.optimize(p, params, config=cfg, method="scatter",
                           solver="dense")
     assert np.isclose(float(r_band.cost), float(r_dense.cost), rtol=1e-9)
