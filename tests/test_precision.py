@@ -5,6 +5,7 @@ no silent downcasts, f32 convergence tested)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from openimucameracalibrator_tpu.core import pose_estimator, spline_estimator as se
 from openimucameracalibrator_tpu.solver import lm
@@ -64,6 +65,7 @@ def test_f32_solve_tracks_f64():
     assert rel < 5e-3, rel
 
 
+@pytest.mark.slow
 def test_f32_lm_converges_like_f64():
     """Full LM in f32 must reach (near) the f64 reprojection error on a
     miscalibrated init — the end-to-end f32 viability check."""

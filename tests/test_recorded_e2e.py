@@ -20,6 +20,12 @@ import os
 import numpy as np
 import pytest
 
+# ~20-25 min per module fixture on the 2-core CI box (render + XLA
+# compiles): the flagship end-to-end proofs live in the slow tier; run
+# with  pytest -m slow tests/test_recorded_e2e.py  (see tests/README.md
+# for the latest full-tier run record).
+pytestmark = pytest.mark.slow
+
 from openimucameracalibrator_tpu.apps import run_calibration
 from openimucameracalibrator_tpu.utils import recorded
 

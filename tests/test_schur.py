@@ -108,6 +108,7 @@ def test_schur_solve_matches_dense(small_problem):  # noqa: F811
                                    atol=1e-9 * scale)
 
 
+@pytest.mark.slow
 def test_schur_lm_matches_single_device(small_problem):  # noqa: F811
     p, params0 = small_problem
     flags = frozenset({se.SPLINE, se.T_I_C, se.IMU_BIASES, se.GRAVITY_DIR})

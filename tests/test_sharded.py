@@ -84,6 +84,7 @@ def test_sharded_padding_is_neutral(small_problem):
     np.testing.assert_allclose(float(c1), float(c0), rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_sharded_scatter_reference_path(small_problem):
     """The scatter-based sharded assembly (equivalence-test reference)
     also reproduces the single-device normal equations."""

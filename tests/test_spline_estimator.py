@@ -73,6 +73,7 @@ def test_full_calibration_global_shutter():
     assert np.abs(acc_res).mean() < 0.1
 
 
+@pytest.mark.slow
 def test_full_calibration_rolling_shutter():
     true_ld = 30.895e-6  # reference table init (BASELINE.md)
     scene, ds, calib, imu = _make_pipeline_inputs(

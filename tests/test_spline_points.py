@@ -4,6 +4,7 @@ whitening ceres_calib_split_residuals.h:276-277,395-396)."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from openimucameracalibrator_tpu.core import (imu_cam_rotation,
                                               imu_camera_calibrator,
@@ -91,6 +92,7 @@ def test_fast_matches_scatter_with_points():
                                rtol=1e-9)
 
 
+@pytest.mark.slow
 def test_points_recover_warped_board():
     """Optimizing board points reduces reprojection error on a warped
     board and recovers the injected z-bow (parity goal of
