@@ -189,9 +189,24 @@ def measure_breakdown(problem, params0):
     js = jax.jit(solve_fn)
     t_solve = best_of(js, H, g, jnp.asarray(1e-4, H.dtype))
     t_cost = best_of(jc, params0)
-    return {"linearize_ms": round(t_lin * 1e3, 2),
-            "solve_ms": round(t_solve * 1e3, 2),
-            "cost_eval_ms": round(t_cost * 1e3, 2)}
+    out = {"linearize_ms": round(t_lin * 1e3, 2),
+           "solve_ms": round(t_solve * 1e3, 2),
+           "cost_eval_ms": round(t_cost * 1e3, 2)}
+    # Compiler FLOP accounting -> achieved rate + utilization estimate
+    # (SURVEY.md §5 tracing/profiling; the elementwise AD chains of the
+    # linearizer run on the VPU, so utilization is quoted against the
+    # v5e f32 matmul peak only as a common yardstick).
+    try:
+        ca = jl.lower(params0).compile().cost_analysis()
+        flops = float((ca or {}).get("flops", 0.0))
+        if flops > 0:
+            out["linearize_gflop"] = round(flops / 1e9, 2)
+            out["linearize_achieved_tflops"] = round(flops / t_lin / 1e12, 3)
+            out["linearize_util_vs_v5e_f32_peak"] = round(
+                flops / t_lin / 49e12, 4)
+    except Exception as e:  # noqa: BLE001 — cost analysis is best-effort
+        log(f"cost_analysis unavailable: {e}")
+    return out
 
 
 def stage_main():

@@ -172,20 +172,27 @@ def make_recording(outdir: str, *, model_name: str = "division_undistortion",
                    accel_noise: float = 0.015, gyro_noise: float = 0.0012,
                    accel_bias=(0.05, -0.03, 0.08),
                    gyro_bias=(0.004, -0.002, 0.003),
-                   supersample: int = 2, seed: int = 3) -> Recording:
+                   supersample: int = 2, seed: int = 3,
+                   imu_cam: bool = True) -> Recording:
     """Render + mux a complete two-video dataset (intrinsics video without
-    telemetry; imu-cam video with ACCL/GYRO/CORI GPMF track)."""
+    telemetry; imu-cam video with ACCL/GYRO/CORI GPMF track).
+
+    ``imu_cam=False`` renders only the intrinsics video (for
+    intrinsics-only fixtures, e.g. the fisheye high-fidelity test)."""
     os.makedirs(outdir, exist_ok=True)
     W, H = image_size
     model = cameras.get_model(model_name)
     if cam_params is None:
         # GoPro9-like wide intrinsics scaled to the render resolution
-        # (BASELINE.md row 1), principal point near the image center.
+        # (BASELINE.md rows 1/3), principal point near the image center.
         sc = W / 960.0
         cam_params = {
             "division_undistortion": [437.13 * sc, W / 2 + 9 * sc, H / 2 + 1 * sc,
                                       -1.4386e-06 / (sc * sc)],
             "pinhole": [437.13 * sc, 437.13 * sc, W / 2 + 9 * sc, H / 2 + 1 * sc],
+            # BASELINE.md row 3 (GoPro9 fisheye / Kannala-Brandt)
+            "fisheye": [435.45 * sc, 435.45 * sc, W / 2 - 0.9 * sc,
+                        H / 2 + 4.5 * sc, 0.05, 0.07, -0.11, 0.05],
         }.get(model_name)
         if cam_params is None:
             raise ValueError(f"no default params for {model_name}")
@@ -217,6 +224,16 @@ def make_recording(outdir: str, *, model_name: str = "division_undistortion",
     mp4_writer.write_mp4(cam_path,
                          [mp4_writer.encode_jpeg(f) for f in frames_cam],
                          W, H, fps_cam)
+
+    if not imu_cam:
+        return Recording(cam_video=cam_path, imu_cam_video="",
+                         cam_params=cam_params, model_name=model_name,
+                         image_size=tuple(image_size),
+                         q_i_c=q_i_c, t_i_c=t_i_c, time_offset=time_offset,
+                         line_delay=line_delay,
+                         accel_bias=np.asarray(accel_bias),
+                         gyro_bias=np.asarray(gyro_bias), pose_fn=None,
+                         cam_fps=cam_fps, imu_rate=imu_rate)
 
     # --- imu-cam video: dynamic trajectory + GPMF telemetry ---
     # Body = IMU; base orientation chosen so the CAMERA (body * T_i_c)

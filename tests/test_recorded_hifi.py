@@ -1,0 +1,104 @@
+"""High-fidelity recorded-data validation at the reference's published
+resolution: 960x540, GoPro9-class intrinsics and board geometry
+(BASELINE.md rows 1-3; reference Readme.md:33-51). The lower-resolution
+smoke e2e lives in test_recorded_e2e.py; these runs hold the pipeline to
+the PUBLISHED accuracy bars: intrinsics <= 0.31 px and final IMU-camera
+reprojection <= 0.9 px.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+from openimucameracalibrator_tpu.apps import run_calibration  # noqa: E402
+from openimucameracalibrator_tpu.utils import recorded  # noqa: E402
+
+# Reference-published configuration: 960x540, GoPro9 Wide intrinsics,
+# 10x8 charuco with 0.04 m squares (resource/board.png geometry), RS line
+# delay at the reference's 1/fps/rows-class init value.
+HIFI_KW = dict(duration=10.0, cam_fps=24.0, intrinsics_frames=30,
+               image_size=(960, 540), time_offset=-0.0813,
+               line_delay=30.895e-6,
+               squares_x=10, squares_y=8, square_length=0.04,
+               marker_length=0.03, supersample=3, seed=9)
+
+
+@pytest.fixture(scope="module")
+def hifi_summary(tmp_path_factory):
+    outdir = str(tmp_path_factory.mktemp("recorded_hifi"))
+    rec = recorded.make_recording(outdir, **HIFI_KW)
+    ws = str(tmp_path_factory.mktemp("ws_hifi"))
+    args = run_calibration.build_parser().parse_args([
+        "--path_calib_dataset", os.path.dirname(rec.cam_video),
+        "--telemetry_json", rec.imu_cam_video,
+        "--telemetry_format", "gopro",
+        "--num_squares_x", "10", "--num_squares_y", "8",
+        "--checker_size_m", "0.04", "--marker_size_m", "0.03",
+        "--workspace", ws,  # rolling shutter on (no --global_shutter)
+    ])
+    return run_calibration.run(args), rec
+
+
+def test_hifi_intrinsics_published_bar(hifi_summary):
+    """Intrinsics at the published <=0.31 px bar (Readme.md:33: 0.31 px at
+    960x540), focal within 0.5%, division coefficient recovered."""
+    summary, rec = hifi_summary
+    assert summary["intrinsics_reproj_error_px"] <= 0.31, \
+        summary["intrinsics_reproj_error_px"]
+    got = np.asarray(summary["intrinsics_params"])
+    gt = rec.cam_params
+    assert abs(got[0] - gt[0]) / gt[0] < 0.005, (got[0], gt[0])
+    assert abs(got[1] - gt[1]) < 1.5 and abs(got[2] - gt[2]) < 1.5
+    # Division-undistortion coefficient (reference: -1.4386e-6): right
+    # sign and magnitude within 15%.
+    assert got[3] < 0
+    assert abs(got[3] - gt[3]) / abs(gt[3]) < 0.15, (got[3], gt[3])
+
+
+def test_hifi_imu_camera_published_bar(hifi_summary):
+    """Batch calibration at the published class: final mean reprojection
+    <= 0.9 px (Readme.md:45-51 report 0.59-0.9 px), millisecond-level
+    time offset, mm-level extrinsics."""
+    summary, rec = hifi_summary
+    assert summary["final_reproj_error_px"] <= 0.9, \
+        summary["final_reproj_error_px"]
+    assert abs(summary["time_offset_s"] - rec.time_offset) < 2e-3
+    t_err = np.abs(np.asarray(summary["t_i_c"]) - rec.t_i_c)
+    assert np.all(t_err < 5e-3), t_err
+    q_got = np.asarray(summary["q_i_c"])
+    ang = 2 * np.arccos(min(1.0, abs(float(np.dot(q_got, rec.q_i_c)))))
+    assert ang < np.deg2rad(0.35), np.rad2deg(ang)
+    # Line delay stays physical (the 30.9 us ground truth is weakly
+    # observable at this motion level; the strong RS recovery test is
+    # test_recorded_e2e.py::test_rolling_shutter_line_delay_from_pixels).
+    assert 0.0 <= summary["line_delay_us"] <= 80.0
+
+
+def test_hifi_fisheye_intrinsics(tmp_path_factory):
+    """Fisheye (Kannala-Brandt) intrinsics from rendered 960x540 video —
+    BASELINE.md row 3 class (published 0.24 px)."""
+    from openimucameracalibrator_tpu.core import board_extractor, camera_calibrator
+
+    outdir = str(tmp_path_factory.mktemp("recorded_fe"))
+    rec = recorded.make_recording(outdir, model_name="fisheye",
+                                  image_size=(960, 540),
+                                  intrinsics_frames=30, squares_x=10,
+                                  squares_y=8, square_length=0.04,
+                                  marker_length=0.03, supersample=3,
+                                  seed=12, imu_cam=False)
+    opts = board_extractor.BoardExtractorOptions(
+        squares_x=10, squares_y=8, square_length=0.04, marker_length=0.03)
+    ds = board_extractor.extract_board_from_video(rec.cam_video, opts)
+    calib, _ = camera_calibrator.calibrate_camera(ds, "fisheye")
+    assert calib.mean_reproj_error <= 0.31, calib.mean_reproj_error
+    got = np.asarray(calib.params)
+    assert abs(got[0] - rec.cam_params[0]) / rec.cam_params[0] < 0.01
+    assert abs(got[2] - rec.cam_params[2]) < 2.0
+    assert abs(got[3] - rec.cam_params[3]) < 2.0
+    # Distortion polynomial: matching sign pattern and rough magnitude.
+    d_got, d_true = got[4:8], np.asarray(rec.cam_params[4:8])
+    assert np.all(np.sign(d_got) == np.sign(d_true)), (d_got, d_true)
+    assert np.all(np.abs(d_got - d_true) < 0.02), (d_got, d_true)
