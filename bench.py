@@ -37,7 +37,7 @@ TIME_OFFSET = -0.0813
 
 # Bump when the solver code path changes materially (invalidates the
 # measured-once caches, since both sides of vs_baseline share the code).
-SOLVER_VERSION = "r3.2-densify-segments+chunk-sweep"
+SOLVER_VERSION = "r4.0-parallel-chunk-vmap"
 
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "bench_cache")
@@ -54,9 +54,22 @@ def log(msg):
           flush=True)
 
 
+def _hardware_id():
+    """Machine identity folded into cache fingerprints: a cached CPU
+    baseline or breakdown from another box must not be silently reused
+    (vs_baseline would divide a live TPU number by a foreign baseline)."""
+    import platform
+    try:
+        import jax
+        dev = jax.devices()[0].device_kind
+    except Exception:  # noqa: BLE001
+        dev = "unknown"
+    return f"{platform.machine()}/{os.cpu_count()}cpu/{dev}"
+
+
 def _config_fingerprint(extra=""):
     return (f"{SOLVER_VERSION}|{DURATION}|{CAM_FPS}|{IMU_RATE}|{LINE_DELAY}"
-            f"|{TIME_OFFSET}|{extra}")
+            f"|{TIME_OFFSET}|{_hardware_id()}|{extra}")
 
 
 def _cache_load(name, fingerprint):
@@ -82,7 +95,8 @@ def _cache_store(name, fingerprint, data):
     log(f"cache {name}: stored")
 
 
-def build_ds3_problem(dtype, duration=None, cam_fps=None, imu_rate=None):
+def build_ds3_problem(dtype, duration=None, cam_fps=None, imu_rate=None,
+                      seed=7):
     """DS3-scale synthetic problem + init params (host-side, on CPU)."""
     import jax
     import jax.numpy as jnp
@@ -105,7 +119,7 @@ def build_ds3_problem(dtype, duration=None, cam_fps=None, imu_rate=None):
         scene = synthetic.make_imu_camera_scene(
             model, cam_true, duration=duration, cam_fps=cam_fps,
             imu_rate=imu_rate, image_size=(960, 540), noise_px=0.2,
-            time_offset=TIME_OFFSET, line_delay=LINE_DELAY, seed=7)
+            time_offset=TIME_OFFSET, line_delay=LINE_DELAY, seed=seed)
         corners = CornerDataset(times=scene.frame_times,
                                 points2d=scene.observations,
                                 valid=scene.obs_valid,
@@ -337,6 +351,246 @@ def stage_intrinsics():
     print(json.dumps(out))
 
 
+def measure_batch(n_seq=4, iters=6):
+    """Multi-sequence batched calibration (BASELINE configs[4]): N DS3-scale
+    recordings solved in ONE vmapped LM — aggregate iters/s + the batched
+    linearizer's achieved FLOP rate (the chip-filling regime; VERDICT r3
+    missing #1/#2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from openimucameracalibrator_tpu.core import batch_estimator as be
+    from openimucameracalibrator_tpu.core import spline_estimator as se
+    from openimucameracalibrator_tpu.solver import lm
+
+    durations = (60.0, 54.0, 57.0, 60.0, 51.0, 60.0, 48.0, 57.0)
+    problems, inits = [], []
+    for i in range(n_seq):
+        problem, params0, _, _ = build_ds3_problem(
+            jnp.float32, duration=durations[i % len(durations)], seed=7 + i)
+        problems.append(problem)
+        inits.append(params0)
+        log(f"batch: sequence {i} built")
+
+    batch = be.build_sequence_batch(problems, obs_chunk=2048, imu_chunk=256)
+    layout = se.build_layout(batch.p_ref)
+    lin = se.make_fast_linearizer(batch.p_ref, layout, batch.plans,
+                                  include_prior=False)
+    cost = be.make_batch_cost(batch.p_ref)
+    params_b = be.stack_params(batch, inits)
+    flags = se.DEFAULT_FLAGS | {se.CAM_LINE_DELAY, se.TIME_OFFSET}
+    masks = be._batch_masks(batch, layout, flags)
+    cfg = lm.LMConfig(max_iters=iters, ftol=0.0)
+
+    run = jax.jit(jax.vmap(
+        lambda prm, ar, ba, m: lm.lm_optimize(
+            lambda q: lin(q, ar, ba), lambda q: cost(q, ar, ba),
+            layout.retract, prm, m, cfg)))
+    res = run(params_b, batch.arrs, batch.bases, masks)
+    jax.block_until_ready(res.cost)
+    log("batch: LM compile + warm-up done")
+    t0 = time.perf_counter()
+    res = run(params_b, batch.arrs, batch.bases, masks)
+    jax.block_until_ready(res.cost)
+    dt = time.perf_counter() - t0
+    total_iters = int(np.sum(np.asarray(res.iterations)))
+
+    out = {"n_sequences": n_seq,
+           "aggregate_iters_per_sec": round(total_iters / dt, 3),
+           "wall_s": round(dt, 3),
+           "lm_iterations_total": total_iters,
+           "tangent_dim_per_seq": int(layout.tangent_dim),
+           "final_costs": [round(float(c), 1) for c in np.asarray(res.cost)]}
+
+    # Batched-linearizer utilization (compiler FLOP accounting).
+    jl = jax.jit(lambda pb: jax.vmap(
+        lambda prm, ar, ba: lin(prm, ar, ba))(pb, batch.arrs, batch.bases))
+    o = jl(params_b)
+    jax.block_until_ready(o)
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        o = jl(params_b)
+        jax.block_until_ready(o)
+        best = min(best, time.perf_counter() - t0)
+    out["batch_linearize_ms"] = round(best * 1e3, 2)
+    try:
+        ca = jl.lower(params_b).compile().cost_analysis()
+        flops = float((ca or {}).get("flops", 0.0))
+        if flops > 0:
+            out["batch_linearize_gflop"] = round(flops / 1e9, 2)
+            out["batch_linearize_achieved_tflops"] = round(
+                flops / best / 1e12, 3)
+            out["batch_linearize_util_vs_v5e_f32_peak"] = round(
+                flops / best / 49e12, 4)
+    except Exception as e:  # noqa: BLE001
+        log(f"batch cost_analysis unavailable: {e}")
+    return out
+
+
+def measure_detection():
+    """Detection hot-loop throughput at 960x540 on the current device:
+    fused Pallas corner-response+NMS+top-k vs the unfused XLA path
+    (reference analog: the per-frame OpenCV loop,
+    board_extractor.cc:385-482), plus an end-to-end native charuco
+    detection on the rendered frame with the Pallas kernel selected."""
+    import jax
+    import jax.numpy as jnp
+
+    from openimucameracalibrator_tpu.detect import (aruco_dict, charuco,
+                                                    image as image_mod,
+                                                    pallas_kernels, render)
+
+    d = aruco_dict.aruco_original_dictionary()
+    board = np.asarray(render.render_charuco_board(d, 10, 7, 0.04, 0.03,
+                                                   64, 14))  # 668x476
+    canvas = np.full((540, 960), 160, np.float32)
+    bh, bw = board.shape
+    canvas[20:20 + bh, 20:20 + bw] = board
+    img = jnp.asarray(canvas)
+
+    on_tpu = jax.default_backend() == "tpu"
+    out = {"image": "960x540 rendered charuco",
+           "device": jax.default_backend()}
+
+    def fps_of(fn):
+        o = fn(img)
+        jax.block_until_ready(o)
+        best = 1e9
+        for _ in range(10):
+            t0 = time.perf_counter()
+            o = fn(img)
+            jax.block_until_ready(o)
+            best = min(best, time.perf_counter() - t0)
+        return 1.0 / best, best
+
+    if on_tpu:
+        fps, t = fps_of(lambda im: pallas_kernels.find_corner_candidates_pallas(im))
+        out["detection_fps_pallas"] = round(fps, 1)
+        out["pallas_ms_per_frame"] = round(t * 1e3, 3)
+    fps, t = fps_of(lambda im: image_mod._find_corner_candidates_xla(im))
+    out["detection_fps_xla"] = round(fps, 1)
+    out["xla_ms_per_frame"] = round(t * 1e3, 3)
+
+    # End-to-end native charuco detection with the production dispatch
+    # (Pallas kernel on TPU): proves the wired path on the real chip.
+    image_mod.set_detector_kernel("auto")
+    spec = charuco.CharucoBoardSpec(10, 7, 0.04, 0.03, d)
+    t0 = time.perf_counter()
+    ids, corners = charuco.detect_charuco(canvas, spec)
+    out["e2e_detect_wall_s"] = round(time.perf_counter() - t0, 3)
+    out["e2e_corners_found"] = int(len(ids))
+    out["kernel_selected"] = image_mod.detector_kernel()
+    return out
+
+
+def measure_banded(iters=1):
+    """Dense vs banded damped solve at long-recording scale (the banded
+    solver's regime, VERDICT r3 missing #4): one lin per duration, then
+    best-of solve timings and the measured dense/banded crossover."""
+    import jax
+    import jax.numpy as jnp
+
+    from openimucameracalibrator_tpu.core import spline_estimator as se
+    from openimucameracalibrator_tpu.solver import banded as banded_mod
+    from openimucameracalibrator_tpu.solver import lm
+
+    out = {}
+    crossover = None
+    for duration in (60.0, 120.0, 180.0):
+        if remaining() < 120:
+            log(f"banded: stopping before duration={duration} (budget)")
+            break
+        problem, params0, _, _ = build_ds3_problem(jnp.float32,
+                                                   duration=duration)
+        layout = se.build_layout(problem)
+        lin, _ = se.make_solver_functions_fast(problem, layout)
+        jl = jax.jit(lin)
+        H, g, _ = jl(params0)
+        jax.block_until_ready(H)
+        lam = jnp.asarray(1e-4, H.dtype)
+
+        def best_of(fn, n=3):
+            o = fn(H, g, lam)
+            jax.block_until_ready(o)
+            best = 1e9
+            for _ in range(n):
+                t0 = time.perf_counter()
+                o = fn(H, g, lam)
+                jax.block_until_ready(o)
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        t_dense = best_of(jax.jit(lm._solve_damped))
+        struct = banded_mod.from_problem(layout, problem, se.ORDER)
+        entry = {"D": int(layout.tangent_dim),
+                 "dense_ms": round(t_dense * 1e3, 2)}
+        if struct is not None:
+            t_band = best_of(jax.jit(banded_mod.make_banded_solver(struct)))
+            entry["banded_ms"] = round(t_band * 1e3, 2)
+            if t_band < t_dense and crossover is None:
+                crossover = int(layout.tangent_dim)
+        out[f"duration_{int(duration)}s"] = entry
+        log(f"banded: {entry}")
+        del H, g, jl
+    out["banded_faster_from_D"] = crossover
+    return out
+
+
+def stage_cpu_sparse():
+    """Second CPU baseline (VERDICT r3 weak #2): same-code f64 linearize +
+    scipy splu sparse factorization of the banded normal equations — the
+    closest available stand-in for Ceres' SPARSE_NORMAL_CHOLESKY role
+    (impl.h:254-276; real Ceres is not installable in this image)."""
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    from openimucameracalibrator_tpu.core import spline_estimator as se
+
+    problem, params0, _, _ = build_ds3_problem(jnp.float64)
+    layout = se.build_layout(problem)
+    lin, cost = se.make_solver_functions_fast(problem, layout)
+    jl = jax.jit(lin)
+    H, g, c = jl(params0)
+    jax.block_until_ready(H)
+    t0 = time.perf_counter()
+    H, g, c = jl(params0)
+    jax.block_until_ready(H)
+    t_lin = time.perf_counter() - t0
+
+    Hn = np.asarray(H)
+    gn = np.asarray(g)
+    lam = 1e-4
+    t0 = time.perf_counter()
+    dscale = np.sqrt(np.maximum(np.diag(Hn), 1e-12))
+    Hs = Hn / dscale[:, None] / dscale[None, :]
+    Hs[np.diag_indices_from(Hs)] += lam
+    Hc = sp.csc_matrix(np.where(np.abs(Hs) > 0, Hs, 0.0))
+    lu = spla.splu(Hc)
+    delta = lu.solve(-gn / dscale) / dscale
+    t_solve = time.perf_counter() - t0
+    assert np.isfinite(delta).all()
+
+    jc = jax.jit(cost)
+    c0 = jc(params0)
+    jax.block_until_ready(c0)
+    t0 = time.perf_counter()
+    c0 = jc(params0)
+    jax.block_until_ready(c0)
+    t_cost = time.perf_counter() - t0
+
+    per_iter = t_lin + t_solve + t_cost
+    print(json.dumps({
+        "cpu_sparse_iters_per_sec": round(1.0 / per_iter, 4),
+        "lin_s": round(t_lin, 3), "splu_s": round(t_solve, 3),
+        "cost_s": round(t_cost, 3),
+        "nnz": int(Hc.nnz), "D": int(layout.tangent_dim)}))
+
+
 def _run_sub(stage, env_extra, timeout):
     env = dict(os.environ)
     env.update(env_extra)
@@ -368,6 +622,27 @@ def _aux_stage(name, stage, env_extra, min_budget, fp_extra=""):
     return data, False
 
 
+def _inproc_stage(name, fn, min_budget, fp_extra=""):
+    """Measured-once IN-PROCESS stage (TPU stages must share the main
+    process: only one process may hold the TPU)."""
+    fp = _config_fingerprint(fp_extra)
+    cached = _cache_load(name, fp)
+    if cached is not None:
+        log(f"{name}: cached")
+        return cached
+    if remaining() < min_budget:
+        log(f"{name}: skipped (remaining {remaining():.0f}s < {min_budget}s)")
+        return None
+    log(f"measuring {name}")
+    try:
+        data = fn()
+    except Exception as e:  # noqa: BLE001 — bench must still emit its line
+        log(f"{name} FAILED: {type(e).__name__}: {e}")
+        return None
+    _cache_store(name, fp, data)
+    return data
+
+
 def main():
     if "--stage" in sys.argv:
         stage = sys.argv[sys.argv.index("--stage") + 1]
@@ -375,6 +650,8 @@ def main():
         oicc.enable_persistent_jit_cache()
         if stage == "cpu_baseline":
             return stage_cpu_baseline()
+        if stage == "cpu_sparse":
+            return stage_cpu_sparse()
         if stage == "scaling":
             return stage_scaling()
         if stage == "intrinsics":
@@ -395,9 +672,16 @@ def main():
         _cache_store("breakdown", fp, breakdown)
     del problem, params0
 
+    # In-process TPU stages (the TPU is single-client: no subprocesses).
+    batch = _inproc_stage("batch_sequences", measure_batch, min_budget=300)
+    det = _inproc_stage("detection", measure_detection, min_budget=120)
+    banded = _inproc_stage("banded_regime", measure_banded, min_budget=240)
+
     cpu_env = {"JAX_PLATFORMS": "cpu", "JAX_ENABLE_X64": "1"}
     base, _ = _aux_stage("cpu_baseline", "cpu_baseline", cpu_env,
                          min_budget=180)
+    sparse, _ = _aux_stage("cpu_sparse", "cpu_sparse", cpu_env,
+                           min_budget=150)
     scaling_env = {"JAX_PLATFORMS": "cpu",
                    "XLA_FLAGS": os.environ.get("XLA_FLAGS", "")
                    + " --xla_force_host_platform_device_count=8"}
@@ -405,13 +689,26 @@ def main():
     intr, _ = _aux_stage("intrinsics", "intrinsics", {}, min_budget=120)
 
     cpu_ips = (base or {}).get("cpu_iters_per_sec")
+    sparse_ips = (sparse or {}).get("cpu_sparse_iters_per_sec")
     vs = res["iters_per_sec"] / cpu_ips if cpu_ips else None
     print(json.dumps({
         "metric": "lm_iters_per_sec_gopro9_ds3_scale",
         "value": round(res["iters_per_sec"], 3),
         "unit": "LM iters/s",
         "vs_baseline": round(vs, 3) if vs else None,
+        # vs_baseline provenance: the primary baseline runs the SAME JAX
+        # solver on this box's CPU in f64 (the Ceres-ROLE comparison, not
+        # Ceres itself: reference impl.h:254-276 runs Ceres
+        # SPARSE_NORMAL_CHOLESKY in double on desktop CPU). The secondary
+        # baseline swaps the dense CPU solve for a scipy splu sparse
+        # factorization of the banded normal equations — the strongest
+        # Ceres stand-in available in this image.
+        "baseline_kind": "same-code-cpu-f64",
         "baseline_cpu_f64_iters_per_sec": round(cpu_ips, 4) if cpu_ips else None,
+        "baseline_cpu_f64_splu_iters_per_sec":
+            round(sparse_ips, 4) if sparse_ips else None,
+        "vs_cpu_splu_baseline": (round(res["iters_per_sec"] / sparse_ips, 3)
+                                 if sparse_ips else None),
         "mean_reproj_error_px": round(res["reproj"], 4),
         "frames_per_sec": round(res["frames_per_sec"], 1),
         "lm_iterations": res["iterations"],
@@ -420,6 +717,9 @@ def main():
         "n_observations": res["n_observations"],
         "n_imu_samples": res["n_imu"],
         "breakdown_ms": breakdown,
+        "multi_sequence_batch": batch,
+        "detection": det,
+        "banded_regime": banded,
         "scaling_iters_per_sec": scal,
         "multi_model_intrinsics": intr,
         "solver_version": SOLVER_VERSION,

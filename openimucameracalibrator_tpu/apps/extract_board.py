@@ -25,12 +25,19 @@ def build_parser(p: argparse.ArgumentParser | None = None):
     p.add_argument("--downsample_factor", type=float, default=1.0)
     p.add_argument("--image_folder_fps", type=float, default=30.0)
     p.add_argument("--recompute_corners", action="store_true")
+    p.add_argument("--detector_kernel", default="auto",
+                   choices=["auto", "xla", "pallas"],
+                   help="corner-response implementation for the native "
+                        "detector (auto = fused Pallas kernel on TPU)")
     return p
 
 
 def run(args) -> str:
     from openimucameracalibrator_tpu.core import board_extractor
+    from openimucameracalibrator_tpu.detect import image as image_mod
     from openimucameracalibrator_tpu.utils import io
+
+    image_mod.set_detector_kernel(getattr(args, "detector_kernel", "auto"))
 
     out = args.save_corners_to_path
     if os.path.exists(out) and not args.recompute_corners:

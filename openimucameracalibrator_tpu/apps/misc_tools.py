@@ -56,9 +56,11 @@ def biases_main(argv=None):
     from openimucameracalibrator_tpu.ops import sew as sew_mod
 
     tel = telemetry.read_generic_json(args.input_json_path, skip_seconds=args.remove_sec)
-    ba, bg = sew_mod.estimate_static_biases(tel.imu, args.gravity_const)
+    ba, bg, source = sew_mod.estimate_static_biases(tel.imu,
+                                                    args.gravity_const)
     out = {"gyro_bias": {k: float(v) for k, v in zip("xyz", bg)},
-           "accl_bias": {k: float(v) for k, v in zip("xyz", ba)}}
+           "accl_bias": {k: float(v) for k, v in zip("xyz", ba)},
+           "bias_estimate": source}
     with open(args.output_path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"biases -> {args.output_path}")

@@ -63,6 +63,10 @@ def build_parser():
     p.add_argument("--num_squares_y", type=int, default=8)
     p.add_argument("--voxel_grid_size", type=float, default=0.04)
     p.add_argument("--global_shutter", action="store_true")
+    p.add_argument("--detector_kernel", default="auto",
+                   choices=["auto", "xla", "pallas"],
+                   help="corner-response implementation for the native "
+                        "detector (auto = fused Pallas kernel on TPU)")
     p.add_argument("--detector_backend", default="native",
                    choices=["native", "opencv"])
     p.add_argument("--optimize_board_points", action="store_true",
@@ -179,7 +183,10 @@ def run(args) -> dict:
         io.save_camera_calibration(calib, os.path.join(ws, "cam_calib.json"))
 
     stage("4. static bias estimation")
-    accel_bias, gyro_bias = sew_mod.estimate_static_biases(tel.imu)
+    accel_bias, gyro_bias, bias_source = sew_mod.estimate_static_biases(
+        tel.imu)
+    if bias_source == "none":
+        print("   no static interval; starting batch stage from zero biases")
 
     stage("5. pose estimation")
     poses = pose_estimator.estimate_poses(corners_imucam, calib)
@@ -235,6 +242,11 @@ def run(args) -> dict:
         "q_i_c": result.q_i_c.tolist(),
         "t_i_c": result.t_i_c.tolist(),
         "gravity": result.gravity.tolist(),
+        # "none" = no static interval; the batch stage started from zero
+        # biases (fine for synthetic/dynamic captures, but real handheld
+        # workflows expect a static segment — downstream consumers can
+        # tell from this marker).
+        "bias_estimate": bias_source,
         "stage_timings_s": timings,
     }
     print(json.dumps(summary, indent=1))

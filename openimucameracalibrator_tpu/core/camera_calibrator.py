@@ -258,7 +258,10 @@ def calibrate_camera(dataset: CornerDataset, model_name: str,
     for cand in starts:
         out = _run_ba_stage(cand, mask1, view_w, obs, valid,
                             model.name, opts.max_iters)
-        if best is None or float(out[1]) < float(best[1]):
+        # Finiteness guard: a NaN stage-1 cost (degenerate start, all LM
+        # steps rejected) must never beat a finite alternative start.
+        if (best is None or not np.isfinite(float(best[1]))
+                or float(out[1]) < float(best[1])):
             best = out
     params, cost, it1 = best
     rmse, _ = _per_view_rmse(params, obs, valid, model.name)

@@ -116,6 +116,12 @@ class SplineProblem(NamedTuple):
     # empirical covariance of OptimizeBoardPoints (pose_estimator.cc:193-224).
     pt_prior_mean: jnp.ndarray | None = None  # (P, 3)
     pt_prior_sqrt_info: jnp.ndarray | None = None  # (P, 3, 3)
+    # Upper bound of the valid measurement-time range. None (default):
+    # derived from the knot counts. The multi-sequence batch pads knot
+    # arrays to a common maximum and passes each sequence's REAL range
+    # bound here (traced), so measurements between a sequence's real end
+    # and the padded range stay masked instead of reading frozen pad knots.
+    t_hi: float | None = None
 
 
 def build_layout(p: SplineProblem) -> blocks.BlockLayout:
@@ -221,7 +227,10 @@ def _windows(p: SplineProblem, t):
 def _in_range(p: SplineProblem, t):
     hi_s = p.t0 + (p.n_so3 - ORDER + 1) * p.dt_so3
     hi_r = p.t0 + (p.n_r3 - ORDER + 1) * p.dt_r3
-    return (t >= p.t0) & (t < hi_s) & (t < hi_r)
+    ok = (t >= p.t0) & (t < hi_s) & (t < hi_r)
+    if p.t_hi is not None:
+        ok = ok & (t < p.t_hi)
+    return ok
 
 
 def accel_residual_local(delta, qwin, rwin, bwin, gravity, intr, meas,
@@ -512,6 +521,28 @@ def _obs_chunks(p: SplineProblem, chunk: int):
 # MXU, and add H_local into H with dense dynamic-slice block updates.
 # ---------------------------------------------------------------------------
 
+def shard_map_jac_mode(mesh=None) -> str:
+    """Jacobian mode for linearizers that run INSIDE shard_map bodies.
+
+    Reverse-mode AD under shard_map miscompiles on the XLA:CPU backend
+    (jax 0.9.0: in-shard reprojection J off by ~1e9 while residuals match;
+    forward-mode is bit-correct there) — so 'fwd' on CPU. On TPU, 'rev' is
+    the fast direction (2 residual rows vs 44 tangent dims per
+    reprojection block) and shows no such miscompile.
+    """
+    platform = (mesh.devices.flat[0].platform if mesh is not None
+                else jax.default_backend())
+    return "fwd" if platform == "cpu" else "rev"
+
+
+# SplineProblem scalar fields the linearizer/cost accept as TRACED
+# per-problem values through the ``bases`` dict (multi-sequence batching:
+# one compiled graph, per-sequence time origins, SEW weights, and bias-knot
+# spacing — dt_bias only scales the bias-spline index/coordinate, never a
+# derivative, since bias splines are evaluated at order 0).
+PROBLEM_OVERRIDE_KEYS = ("t0", "w_accel", "w_gyro", "dt_bias", "t_hi")
+
+
 class ChunkPlan(NamedTuple):
     """Static per-chunk window geometry for one measurement family."""
 
@@ -710,13 +741,25 @@ def plan_fast_assembly(p: SplineProblem, obs_chunk: int = 2048,
 
 
 def make_fast_linearizer(p: SplineProblem, layout, plans,
-                         include_prior: bool = True, jac_mode: str = "rev"):
+                         include_prior: bool = True, jac_mode: str = "rev",
+                         sequential: bool = False):
     """Traced chunk-local linearizer: ``lin(params, arrs, bases) -> (H, g, cost)``.
 
     ``arrs`` is the chunked-array dict from :func:`plan_fast_assembly` (or a
     device-local shard of it); ``bases`` is a dict with keys obs_s/obs_r/
     acc_s/acc_r/gyr_s giving the per-chunk first-knot indices (static plan
     values by default, traced device-local arrays under shard_map).
+
+    ``sequential``: evaluate chunks in a ``lax.scan`` (bounded peak memory,
+    one chunk's AD buffers live at a time) instead of the default ``vmap``
+    over the chunk axis. The vmap path is what keeps the TPU busy: the r3
+    design's scan issued ~160 *sequential* chunk steps per linearization,
+    each a sub-millisecond sliver of VPU/MXU work, so the wall clock was
+    dispatch latency (127 ms at DS3 scale for 0.5 GFLOP). Batching the
+    chunk axis turns the per-chunk Gram products into one large batched
+    matmul and the AD chains into full-width elementwise ops. Peak memory
+    grows by ~n_chunks x per-chunk buffers (~hundreds of MB at recording
+    scale) which HBM comfortably holds.
     """
     obs_plan, acc_plan, gyr_plan = plans
     dtype = p.obs_uv.dtype
@@ -733,8 +776,8 @@ def make_fast_linearizer(p: SplineProblem, layout, plans,
     def _clip_local(i, base, w):
         return jnp.clip(i - base, 0, w - ORDER).astype(jnp.int32)
 
-    def _reproj_chunk(params, ch, s_base, r_base, s_org=0, r_org=0):
-        pc = p._replace(**ch)
+    def _reproj_chunk(params, ch, s_base, r_base, s_org=0, r_org=0, pov=None):
+        pc = p._replace(**ch, **(pov or {}))
         r, J, (i_s, i_r) = _reproj_eval(params, pc, with_jac=True,
                                         jac_mode=jac_mode)
         c = robust.huber_cost(r.reshape(-1), HUBER_PX, group_size=2)
@@ -756,8 +799,8 @@ def make_fast_linearizer(p: SplineProblem, layout, plans,
         Jd, rf = _densify_segments(r, J, segments, L_obs)
         return Jd.T @ Jd, Jd.T @ rf, c
 
-    def _accel_chunk(params, ch, s_base, r_base, s_org=0, r_org=0):
-        pc = p._replace(**ch)
+    def _accel_chunk(params, ch, s_base, r_base, s_org=0, r_org=0, pov=None):
+        pc = p._replace(**ch, **(pov or {}))
         r, J, (i_s, i_r, i_b) = _accel_eval(params, pc, with_jac=True)
         segments = [
             ("run", 0, ORDER, 3, _clip_local(i_s, s_base, acc_plan.w_s),
@@ -770,8 +813,8 @@ def make_fast_linearizer(p: SplineProblem, layout, plans,
         Jd, rf = _densify_segments(r, J, segments, L_acc)
         return Jd.T @ Jd, Jd.T @ rf, 0.5 * jnp.sum(r * r)
 
-    def _gyro_chunk(params, ch, s_base, s_org=0):
-        pc = p._replace(**ch)
+    def _gyro_chunk(params, ch, s_base, s_org=0, pov=None):
+        pc = p._replace(**ch, **(pov or {}))
         r, J, (i_s, i_b) = _gyro_eval(params, pc, with_jac=True)
         segments = [
             ("run", 0, ORDER, 3, _clip_local(i_s, s_base, gyr_plan.w_s),
@@ -801,6 +844,48 @@ def make_fast_linearizer(p: SplineProblem, layout, plans,
         g = g.at[idx].add(gls)
         return H, g
 
+    def _accumulate_static(H, g, Hls, gls, starts_list):
+        """Scatter-free accumulation for host-concrete chunk bases.
+
+        XLA:TPU lowers the indexed scatter-add above through a sort-based
+        custom kernel that dominated the whole linearization (~43 of 85 ms
+        device time at DS3 scale, profiled on v5e: fusion over the
+        flattened (D*D,) Hessian + 2 sorts per family). When every chunk's
+        target offset is known at trace time, the same accumulation is a
+        chain of STATIC dynamic-update-slice adds — one per (chunk,
+        region-pair) — which XLA fuses into a single assembly pass
+        (measured ~0.03 ms for the obs family's 111x77x77 blocks).
+        """
+        starts = [(np.asarray(s).reshape(-1), int(w)) for s, w in starts_list]
+        offs = np.concatenate([[0], np.cumsum([w for _, w in starts])])
+        K = Hls.shape[0]
+        for k in range(K):
+            pos = [int(s[k % len(s)] if len(s) > 1 else s[0])
+                   for s, _ in starts]
+            for a, (_, wa) in enumerate(starts):
+                ra, pa = int(offs[a]), pos[a]
+                g = g.at[pa:pa + wa].add(gls[k, ra:ra + wa])
+                for b, (_, wb) in enumerate(starts):
+                    rb, pb = int(offs[b]), pos[b]
+                    H = H.at[pa:pa + wa, pb:pb + wb].add(
+                        Hls[k, ra:ra + wa, rb:rb + wb])
+        return H, g
+
+    def _concrete_starts(starts_list):
+        """np version of starts_list if every entry is host-concrete."""
+        out = []
+        for s, w in starts_list:
+            if isinstance(s, jax.core.Tracer):
+                return None
+            out.append((np.asarray(s), int(w)))
+        return out
+
+    def _acc_dispatch(H, g, Hls, gls, starts_list):
+        cs = _concrete_starts(starts_list)
+        if cs is not None:
+            return _accumulate_static(H, g, Hls, gls, cs)
+        return _accumulate(H, g, Hls, gls, _region_idx(starts_list))
+
     def linearize(params, arrs, bases):
         D = layout.tangent_dim
         H = jnp.zeros((D, D), dtype)
@@ -810,54 +895,74 @@ def make_fast_linearizer(p: SplineProblem, layout, plans,
         # layouts (parallel/schur.py).
         s_org = bases.get("s_org", 0)
         r_org = bases.get("r_org", 0)
+        # Per-problem overrides of SplineProblem scalars (traced per-sequence
+        # values for the multi-sequence batch: each sequence carries its own
+        # time origin and SEW weights through one common compiled graph).
+        pov = {k: bases[k] for k in PROBLEM_OVERRIDE_KEYS if k in bases} or None
 
-        def acc_body(cc, x):
-            ch, s_base, r_base = x
-            H_l, g_l, c = _accel_chunk(params, ch, s_base, r_base, s_org, r_org)
-            return cc + c, (H_l, g_l)
+        def _c(x):
+            """Host (numpy) view of a chunk-base value when it is concrete.
+
+            Inside a jit trace, jnp arithmetic on CONCRETE closure arrays
+            still yields tracers — the accumulate-target offsets must be
+            computed in numpy to stay host-known, which is what lets
+            _acc_dispatch pick the scatter-free static placement.
+            """
+            if isinstance(x, (int, np.integer, np.ndarray)):
+                return x
+            if isinstance(x, jax.core.Tracer):
+                return x
+            return np.asarray(x)
+
+        s_orgc, r_orgc = _c(s_org), _c(r_org)
+
+        def _map_chunks(body, xs):
+            """(H_l (K,L,L), g_l (K,L), total cost) over the chunk axis."""
+            if sequential:
+                def sbody(cc, x):
+                    H_l, g_l, c = body(*x)
+                    return cc + c, (H_l, g_l)
+
+                cc, (Hs, gs) = jax.lax.scan(sbody, jnp.zeros((), dtype), xs)
+                return Hs, gs, cc
+            Hs, gs, cs = jax.vmap(body)(*xs)
+            return Hs, gs, jnp.sum(cs)
 
         acc_arrs = {k: arrs[k] for k in ("accel_t", "accel_meas", "accel_valid")}
-        cost, (Ha, ga) = jax.lax.scan(
-            acc_body, jnp.zeros((), dtype),
+        Ha, ga, cost = _map_chunks(
+            lambda ch, sb, rb: _accel_chunk(params, ch, sb, rb, s_org, r_org,
+                                            pov),
             (acc_arrs, bases["acc_s"], bases["acc_r"]))
-        idx_a = _region_idx([
-            (3 * (bases["acc_s"] - s_org), 3 * acc_plan.w_s),
-            (off["t_r3"] + 3 * (bases["acc_r"] - r_org), 3 * acc_plan.w_r),
+        H, g = _acc_dispatch(H, g, Ha, ga, [
+            (3 * (_c(bases["acc_s"]) - s_orgc), 3 * acc_plan.w_s),
+            (off["t_r3"] + 3 * (_c(bases["acc_r"]) - r_orgc),
+             3 * acc_plan.w_r),
             (off["bias_a"], nb3), (off["gravity"], 3), (off["accl_intr"], 6)])
-        H, g = _accumulate(H, g, Ha, ga, idx_a)
-
-        def gyr_body(cc, x):
-            ch, s_base = x
-            H_l, g_l, c = _gyro_chunk(params, ch, s_base, s_org)
-            return cc + c, (H_l, g_l)
 
         gyr_arrs = {k: arrs[k] for k in ("gyro_t", "gyro_meas", "gyro_valid")}
-        c_g, (Hg, gg) = jax.lax.scan(gyr_body, jnp.zeros((), dtype),
-                                     (gyr_arrs, bases["gyr_s"]))
+        Hg, gg, c_g = _map_chunks(
+            lambda ch, sb: _gyro_chunk(params, ch, sb, s_org, pov),
+            (gyr_arrs, bases["gyr_s"]))
         cost = cost + c_g
-        idx_g = _region_idx([
-            (3 * (bases["gyr_s"] - s_org), 3 * gyr_plan.w_s),
+        H, g = _acc_dispatch(H, g, Hg, gg, [
+            (3 * (_c(bases["gyr_s"]) - s_orgc), 3 * gyr_plan.w_s),
             (off["bias_g"], nb3), (off["gyro_intr"], 9)])
-        H, g = _accumulate(H, g, Hg, gg, idx_g)
-
-        def obs_body(cc, x):
-            ch, s_base, r_base = x
-            H_l, g_l, c = _reproj_chunk(params, ch, s_base, r_base, s_org, r_org)
-            return cc + c, (H_l, g_l)
 
         obs_keys = tuple(_obs_fields(p).keys())
         obs_arrs = {k: arrs[k] for k in obs_keys}
-        c_o, (Ho, go) = jax.lax.scan(
-            obs_body, jnp.zeros((), dtype),
+        Ho, go, c_o = _map_chunks(
+            lambda ch, sb, rb: _reproj_chunk(params, ch, sb, rb, s_org, r_org,
+                                             pov),
             (obs_arrs, bases["obs_s"], bases["obs_r"]))
         cost = cost + c_o
         starts_o = [
-            (3 * (bases["obs_s"] - s_org), 3 * obs_plan.w_s),
-            (off["t_r3"] + 3 * (bases["obs_r"] - r_org), 3 * obs_plan.w_r),
+            (3 * (_c(bases["obs_s"]) - s_orgc), 3 * obs_plan.w_s),
+            (off["t_r3"] + 3 * (_c(bases["obs_r"]) - r_orgc),
+             3 * obs_plan.w_r),
             (off["q_i_c"], 8)]
         if p.n_points > 0:
             starts_o.append((off["points"], np3))
-        H, g = _accumulate(H, g, Ho, go, _region_idx(starts_o))
+        H, g = _acc_dispatch(H, g, Ho, go, starts_o)
 
         prior = _point_prior_eval(params, p, layout) if include_prior else None
         if prior is not None:
@@ -1179,14 +1284,17 @@ def optimize_stages(p: SplineProblem, params0: dict, stages,
 
     if checkpoint_dir:
         # Problem digest: every measurement array + static config of the
-        # SplineProblem, the full stage schedule, and the params0 signature.
+        # SplineProblem, the full stage schedule, the params0 signature,
+        # AND the solver settings (LMConfig + solver choice) — rerunning
+        # with changed ftol/damping/solver must invalidate, not restore.
         prob_fp = ckpt.fingerprint(
             {k: (np.asarray(v) if v is not None and not isinstance(
                 v, (int, float, bool, str)) else v)
              for k, v in p._asdict().items()},
             [(sorted(f), int(n)) for f, n in stages],
             ckpt.tree_signature(jax.device_get(params0)),
-            str(np.asarray(next(iter(params0.values())).dtype)))
+            str(np.asarray(next(iter(params0.values())).dtype)),
+            sorted(base_cfg._asdict().items()), str(solver))
     else:
         prob_fp = None
 

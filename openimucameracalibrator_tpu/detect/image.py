@@ -11,10 +11,41 @@ inside aruco::detectMarkers, cornerSubPix :160-170).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Detection compute-kernel selection (XLA vs fused Pallas)
+#
+# The corner-response + NMS stage is the detector's hot loop (reference
+# analog: the per-frame OpenCV pipeline in board_extractor.cc:385-482).
+# Two implementations exist: the unfused XLA path below and the fused
+# Pallas row-band kernel (detect/pallas_kernels.corner_response_nms).
+# "auto" resolves to the Pallas kernel on TPU and XLA elsewhere (on CPU
+# the Pallas interpreter is orders of magnitude slower than XLA, so it is
+# only used when requested explicitly, e.g. by the equality tests).
+# ---------------------------------------------------------------------------
+
+_DETECTOR_KERNEL = os.environ.get("OICC_DETECTOR_KERNEL", "auto")
+
+
+def set_detector_kernel(name: str) -> None:
+    """Select the corner-response implementation: 'auto'|'xla'|'pallas'."""
+    global _DETECTOR_KERNEL
+    if name not in ("auto", "xla", "pallas"):
+        raise ValueError(f"unknown detector kernel {name!r}")
+    _DETECTOR_KERNEL = name
+
+
+def detector_kernel() -> str:
+    """The resolved kernel choice ('xla' or 'pallas')."""
+    if _DETECTOR_KERNEL == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return _DETECTOR_KERNEL
 
 
 # ---------------------------------------------------------------------------
@@ -170,9 +201,20 @@ def _prototype_bank(radius: int):
                      _corner_prototype(radius, np.pi / 4)])  # (2, 4, s, s)
 
 
-@functools.partial(jax.jit, static_argnames=("radius",))
 def corner_response(img: jnp.ndarray, radius: int = 6):
-    """Checkerboard-corner likelihood map (H, W).
+    """Checkerboard-corner likelihood map (H, W); dispatches to the
+    selected kernel (see ``detector_kernel``)."""
+    if detector_kernel() == "pallas":
+        from openimucameracalibrator_tpu.detect import pallas_kernels
+        resp, _ = pallas_kernels.corner_response_nms(
+            img, radius, interpret=jax.default_backend() != "tpu")
+        return resp
+    return _corner_response_xla(img, radius)
+
+
+@functools.partial(jax.jit, static_argnames=("radius",))
+def _corner_response_xla(img: jnp.ndarray, radius: int = 6):
+    """XLA reference implementation of the corner-likelihood map.
 
     For each prototype (axis-aligned and 45 deg): with quadrant means
     a, b (one diagonal) and c, d (other diagonal) and mu = (a+b+c+d)/4,
@@ -197,7 +239,6 @@ def corner_response(img: jnp.ndarray, radius: int = 6):
     return jnp.maximum(resp, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("max_corners", "nms_radius"))
 def find_corner_candidates(img: jnp.ndarray, max_corners: int = 512,
                            nms_radius: int = 4, rel_threshold: float = 0.05,
                            response_radius: int = 6):
@@ -205,8 +246,25 @@ def find_corner_candidates(img: jnp.ndarray, max_corners: int = 512,
 
     Returns (xy (K, 2) float32, score (K,)) with score 0 for empty slots.
     NMS: a pixel survives if it equals the local max over the NMS window.
+    Dispatches to the fused Pallas kernel when selected (TPU default).
     """
-    resp = corner_response(img, response_radius)
+    if detector_kernel() == "pallas":
+        from openimucameracalibrator_tpu.detect import pallas_kernels
+        return pallas_kernels.find_corner_candidates_pallas(
+            img, max_corners=max_corners, nms_radius=nms_radius,
+            rel_threshold=rel_threshold, response_radius=response_radius,
+            interpret=jax.default_backend() != "tpu")
+    return _find_corner_candidates_xla(img, max_corners, nms_radius,
+                                       rel_threshold, response_radius)
+
+
+@functools.partial(jax.jit, static_argnames=("max_corners", "nms_radius",
+                                             "response_radius"))
+def _find_corner_candidates_xla(img: jnp.ndarray, max_corners: int = 512,
+                                nms_radius: int = 4,
+                                rel_threshold: float = 0.05,
+                                response_radius: int = 6):
+    resp = _corner_response_xla(img, response_radius)
     k = 2 * nms_radius + 1
     local_max = jax.lax.reduce_window(resp, -jnp.inf, jax.lax.max,
                                       (k, k), (1, 1), "SAME")

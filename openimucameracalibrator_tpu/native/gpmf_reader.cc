@@ -37,6 +37,9 @@ struct TimeState {
   bool has_first = false;
   double first_dev_t = 0.0;  // device clock of first payload (s)
   double first_mp4_t = 0.0;  // MP4 time of first payload (s)
+  bool has_prev = false;
+  double prev_base = 0.0;  // previous payload's start on the output axis
+  double prev_dur = 0.0;   // previous payload's duration (s)
   bool has_prev_tsmp = false;
   uint64_t prev_tsmp = 0;
   uint64_t dropped = 0;  // cumulative samples lost per TSMP accounting
@@ -182,24 +185,35 @@ void parse_strm(Reader* r, Buf strm, double t0, double dur) {
   int n = sensor.repeat;
 
   // Payload start: device clock (STMP/TICK) anchored at the first
-  // payload's MP4 time when available, else the MP4 sample time.
+  // STMP/TICK-bearing payload's MP4 time when available, else the MP4
+  // sample time. A stream must never MIX the two clocks: once anchored,
+  // a payload that happens to lack STMP/TICK continues the device-clock
+  // axis from the previous payload's end (prev_base + prev_dur) instead
+  // of jumping back to raw MP4 stts time, which would make the stream's
+  // time axis non-monotonic when the clocks have drifted apart.
+  TimeState& st = r->tstate[sensor.key];
   double base = t0;
   if (stmp >= 0.0 || tick >= 0.0) {
     double dev_t = stmp >= 0.0 ? stmp * 1e-6 : tick * 1e-3;
-    TimeState& st = r->tstate[sensor.key];
     if (!st.has_first) {
+      // First anchor. Any earlier anchorless payloads used MP4 times;
+      // anchoring at THIS payload's MP4 time keeps the axis continuous.
       st.has_first = true;
       st.first_dev_t = dev_t;
       st.first_mp4_t = t0;
     }
     base = st.first_mp4_t + (dev_t - st.first_dev_t);
+  } else if (st.has_first && st.has_prev) {
+    base = st.prev_base + st.prev_dur;
   }
+  st.has_prev = true;
+  st.prev_base = base;
+  st.prev_dur = dur;
   // TSMP sample accounting: repeat should equal tsmp_now - tsmp_prev;
   // a larger delta means the camera dropped samples between payloads
   // (tracked; timing stays anchored to STMP/MP4, so later samples are
   // not skewed by the gap).
   if (tsmp >= 0.0) {
-    TimeState& st = r->tstate[sensor.key];
     uint64_t now = uint64_t(tsmp);
     if (st.has_prev_tsmp && now > st.prev_tsmp) {
       uint64_t delivered = now - st.prev_tsmp;

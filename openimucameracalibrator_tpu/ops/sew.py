@@ -114,7 +114,9 @@ def estimate_static_biases(imu: ImuData, gravity_const: float = 9.81,
                            accel_var_thresh: float = 0.05) -> tuple:
     """Static-capture bias estimate (python/get_imu_biases.py:39-62):
     gravity removed along the dominant mean-acceleration axis; means of the
-    remainder are the biases. Returns (accel_bias (3,), gyro_bias (3,)).
+    remainder are the biases. Returns (accel_bias (3,), gyro_bias (3,),
+    source) where ``source`` is "static_interval" or "none" — callers must
+    surface "none" (zero-bias fallback) to downstream consumers.
 
     The mean-equals-bias assumption only holds while the device is at
     rest, so the estimate is restricted to the longest detected static
@@ -139,11 +141,11 @@ def estimate_static_biases(imu: ImuData, gravity_const: float = 9.81,
     if not static:
         warnings.warn("estimate_static_biases: no static interval found "
                       "(recording is dynamic); returning zero biases")
-        return np.zeros(3), np.zeros(3)
+        return np.zeros(3), np.zeros(3), "none"
     best = max(static, key=lambda iv: iv.length)
     sel = slice(best.start, best.end + 1)
     mean_accl = np.mean(imu.accel[sel], axis=0)
     k = int(np.argmax(np.abs(mean_accl)))
     grav = np.zeros(3)
     grav[k] = gravity_const * np.sign(mean_accl[k])
-    return mean_accl - grav, np.mean(imu.gyro[sel], axis=0)
+    return mean_accl - grav, np.mean(imu.gyro[sel], axis=0), "static_interval"

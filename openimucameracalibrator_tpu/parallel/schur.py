@@ -21,10 +21,12 @@ itself partitioned. This module shards the spline-knot axis:
 
 This is a domain-decomposition direct solve: algebraically exact (equal to
 the replicated dense solve up to fp rounding), with per-device Hessian
-memory O((D/n + S)²) instead of O(D²). Board points live in the separator
-tail; because each observation touches exactly one point, a further
-per-point elimination is possible at very large P, but at calibration
-scale (P ≲ 10³) the dense separator solve is already negligible.
+memory O((D/n + S)²) instead of O(D²). Board points form a BORDERED third
+level, not part of the separator: each observation touches exactly one
+point, so the point block is block-diagonal 3x3 and is eliminated first
+(psum'd point system, batched 3x3 solves) before the knot interior /
+separator elimination — the separator system S is independent of the
+point count P (see ShardState.Csp/Cpp and the solve below).
 
 The reference has no distributed execution of any kind (SURVEY.md §2.7);
 this is the TPU-native design mandated by BASELINE.json ("spline knot
@@ -259,10 +261,11 @@ def make_schur_solver_functions(p: se.SplineProblem, mesh: Mesh,
     plans = (se.ChunkPlan(k_obs, obs_chunk, pl_o[0], pl_o[1], dummy, dummy),
              se.ChunkPlan(k_acc, imu_chunk, pl_a[0], pl_a[1], dummy, dummy),
              se.ChunkPlan(k_gyr, imu_chunk, pl_g[0], 0, dummy, dummy))
-    # jac_mode='fwd': reverse-mode AD under shard_map miscompiles on
-    # XLA:CPU (see se._reproj_eval docstring).
+    # Backend-dependent: 'fwd' on XLA:CPU (reverse-mode under shard_map
+    # miscompiles there), 'rev' on TPU (see se.shard_map_jac_mode).
     lin_local = se.make_fast_linearizer(p, part.layout_loc, plans,
-                                        include_prior=False, jac_mode="fwd")
+                                        include_prior=False,
+                                        jac_mode=se.shard_map_jac_mode(mesh))
 
     sh = NamedSharding(mesh, P(axis))
     arrs = {f: jax.device_put(jnp.asarray(v), sh)

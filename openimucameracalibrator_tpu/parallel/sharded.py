@@ -193,11 +193,11 @@ def make_sharded_fast_solver_functions_ex(p: se.SplineProblem, mesh: Mesh,
     plans = (se.ChunkPlan(k_obs, obs_chunk, ws_o, wr_o, dummy, dummy),
              se.ChunkPlan(k_acc, imu_chunk, ws_a, wr_a, dummy, dummy),
              se.ChunkPlan(k_gyr, imu_chunk, ws_g, 0, dummy, dummy))
-    # jac_mode='fwd': reverse-mode AD under shard_map miscompiles on
-    # XLA:CPU (see _reproj_eval docstring).
+    # Backend-dependent: 'fwd' on XLA:CPU (reverse-mode under shard_map
+    # miscompiles there), 'rev' on TPU (see se.shard_map_jac_mode).
     lin_local = se.make_fast_linearizer(p, layout, plans,
                                         include_prior=False,
-                                        jac_mode="fwd")
+                                        jac_mode=se.shard_map_jac_mode(mesh))
 
     sh = NamedSharding(mesh, P(axis))
     arrs = {f: jax.device_put(jnp.asarray(v), sh)
@@ -279,8 +279,9 @@ def make_sharded_solver_functions_ex(p: se.SplineProblem, mesh: Mesh,
                        out_specs=(P(), P(), P()))
     def _linearize(params, shard_arrays, repl_arrays):
         p_local = _rebuild(shard_arrays, repl_arrays)
-        lin, _ = se.make_solver_functions(p_local, layout,
-                                          include_prior=False, jac_mode="fwd")
+        lin, _ = se.make_solver_functions(
+            p_local, layout, include_prior=False,
+            jac_mode=se.shard_map_jac_mode(mesh))
         H, g, c = lin(params)
         return jax.lax.psum((H, g, c), axis)
 

@@ -301,3 +301,53 @@ def test_tick_based_timing(tmp_path):
         np.testing.assert_allclose(v, 10.0, atol=1e-12)
         assert abs(t[0] - 0.0) < 1e-9
         assert abs(t[n] - 1.05) < 1e-9  # 8050 ms - 7000 ms after anchor
+
+
+def test_anchored_stream_never_mixes_clocks(tmp_path):
+    """A payload missing STMP/TICK inside an otherwise anchored stream
+    must continue the device-clock axis (previous payload end), not fall
+    back to raw MP4 stts time — mixing the two clocks makes the stream's
+    time axis non-monotonic once they drift (advisor r3 finding)."""
+    import struct
+
+    def klv(key, tc, ssize, repeat, data):
+        pad = (-len(data)) % 4
+        return (key + tc + bytes([ssize]) + struct.pack(">H", repeat)
+                + data + b"\x00" * pad)
+
+    def nest(key, children):
+        inner = b"".join(children)
+        return klv(key, b"\x00", 1, len(inner), inner)
+
+    n = 50
+
+    def strm(tick_ms):
+        data = np.full((n, 3), 1000, np.int16)
+        children = []
+        if tick_ms is not None:
+            children.append(klv(b"TICK", b"L", 4, 1,
+                                struct.pack(">L", tick_ms)))
+        children += [
+            klv(b"SCAL", b"s", 2, 1, struct.pack(">h", 100)),
+            klv(b"GYRO", b"s", 6, n, data.astype(">i2").tobytes()),
+        ]
+        return nest(b"STRM", children)
+
+    # Device clock runs 200 ms ahead of MP4 by payload 2; payload 3 has
+    # NO TICK. Falling back to MP4 time (2.0 s) would step BACKWARD from
+    # payload 2's anchored end (1.2 + 1.0 = 2.2 s).
+    payloads = [nest(b"DEVC", [strm(7000)]),
+                nest(b"DEVC", [strm(8200)]),
+                nest(b"DEVC", [strm(None)]),
+                nest(b"DEVC", [strm(10200)])]
+    frame = mp4_writer.encode_jpeg(np.zeros((16, 16), np.uint8))
+    path = str(tmp_path / "mixed.mp4")
+    mp4_writer.write_mp4(path, [frame] * 120, 16, 16, 30.0, payloads,
+                         payload_duration_s=1.0)
+    with gpmf.GpmfFile(path) as f:
+        t, _ = f.stream("GYRO")
+        assert abs(t[0] - 0.0) < 1e-9
+        assert abs(t[n] - 1.2) < 1e-9       # anchored: 8200-7000 ms
+        assert abs(t[2 * n] - 2.2) < 1e-9   # continued, NOT mp4 2.0 s
+        assert abs(t[3 * n] - 3.2) < 1e-9   # back on the device clock
+        assert np.all(np.diff(t) > 0), "time axis must stay monotonic"

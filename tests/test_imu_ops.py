@@ -95,7 +95,8 @@ def test_static_bias_estimation(rng):
     accel = np.tile([0, 0, 9.81], (n, 1)) + bias_a + rng.normal(size=(n, 3)) * 0.01
     gyro = np.tile([0.0, 0, 0], (n, 1)) + bias_g + rng.normal(size=(n, 3)) * 0.002
     imu = ImuData(times=np.arange(n) / rate, accel=accel, gyro=gyro)
-    ba, bg = sew.estimate_static_biases(imu)
+    ba, bg, source = sew.estimate_static_biases(imu)
+    assert source == "static_interval"
     np.testing.assert_allclose(ba, bias_a, atol=2e-3)
     np.testing.assert_allclose(bg, bias_g, atol=2e-4)
 
@@ -112,7 +113,8 @@ def test_static_bias_dynamic_recording_guard(rng):
     imu = ImuData(times=t, accel=accel, gyro=gyro)
     with warnings.catch_warnings(record=True) as rec:
         warnings.simplefilter("always")
-        ba, bg = sew.estimate_static_biases(imu)
+        ba, bg, source = sew.estimate_static_biases(imu)
+    assert source == "none"
     assert np.all(ba == 0) and np.all(bg == 0)
     assert any("static" in str(w.message) for w in rec)
 
@@ -128,6 +130,6 @@ def test_static_bias_uses_static_segment(rng):
     accel = np.tile([0, 0, 9.81], (4000, 1)) + rng.normal(size=(4000, 3)) * 0.01
     accel[:2000, 0] += 3.0 * np.sin(2 * np.pi * 0.9 * t[:2000])
     imu = ImuData(times=t, accel=accel, gyro=gyro)
-    ba, bg = sew.estimate_static_biases(imu)
+    ba, bg, _ = sew.estimate_static_biases(imu)
     np.testing.assert_allclose(bg, bias_g, atol=5e-4)
     assert np.all(np.abs(ba) < 5e-3)
