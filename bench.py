@@ -326,6 +326,8 @@ def stage_intrinsics():
         "fisheye": [435.45, 435.45, 479.12, 274.46, 0.05, 0.07, -0.11, 0.05],
         "division_undistortion": [437.13, 489.07, 270.87, -1.4386e-06],
         "double_sphere": [342.43, 342.43, 472.60, 273.88, -0.215, 0.5129],
+        # BASELINE.md row 2 (DS2 Extended Unified, published 0.209 px).
+        "extended_unified": [437.97, 437.97, 489.47, 272.02, 0.5115, 1.062],
     }
     cpu = jax.devices("cpu")[0]
     datasets = {}
@@ -342,12 +344,16 @@ def stage_intrinsics():
                 image_size=scene.image_size, fps=30.0)
     out = {}
     t0 = time.perf_counter()
-    for name, ds in datasets.items():
-        calib, _ = camera_calibrator.calibrate_camera(
-            ds, name, camera_calibrator.CameraCalibratorOptions(
-                dtype=jnp.float32))
+    # ONE compiled multi-model batch: padded camera vectors + lax.switch
+    # projection, every BA stage vmapped over the model lanes
+    # (BASELINE configs[1] "multi-model batched intrinsics").
+    results = camera_calibrator.calibrate_camera_batch(
+        list(datasets.items()),
+        camera_calibrator.CameraCalibratorOptions(dtype=jnp.float32))
+    for (name, _), (calib, _) in zip(datasets.items(), results):
         out[f"reproj_{name}"] = round(float(calib.mean_reproj_error), 4)
-    out["wall_s_3models"] = round(time.perf_counter() - t0, 2)
+    out["wall_s_batched"] = round(time.perf_counter() - t0, 2)
+    out["n_models_batched"] = len(datasets)
     print(json.dumps(out))
 
 
@@ -372,7 +378,7 @@ def measure_batch(n_seq=4, iters=6):
         inits.append(params0)
         log(f"batch: sequence {i} built")
 
-    batch = be.build_sequence_batch(problems, obs_chunk=2048, imu_chunk=256)
+    batch = be.build_sequence_batch(problems, obs_chunk=4096, imu_chunk=256)
     layout = se.build_layout(batch.p_ref)
     lin = se.make_fast_linearizer(batch.p_ref, layout, batch.plans,
                                   include_prior=False)
@@ -381,16 +387,20 @@ def measure_batch(n_seq=4, iters=6):
     flags = se.DEFAULT_FLAGS | {se.CAM_LINE_DELAY, se.TIME_OFFSET}
     masks = be._batch_masks(batch, layout, flags)
     cfg = lm.LMConfig(max_iters=iters, ftol=0.0)
+    static_bases = {k: v for k, v in batch.bases.items()
+                    if isinstance(v, np.ndarray)}
+    scal_b = {k: v for k, v in batch.bases.items() if k not in static_bases}
 
     run = jax.jit(jax.vmap(
-        lambda prm, ar, ba, m: lm.lm_optimize(
-            lambda q: lin(q, ar, ba), lambda q: cost(q, ar, ba),
+        lambda prm, ar, sc, m: lm.lm_optimize(
+            lambda q: lin(q, ar, {**static_bases, **sc}),
+            lambda q: cost(q, ar, {**static_bases, **sc}),
             layout.retract, prm, m, cfg)))
-    res = run(params_b, batch.arrs, batch.bases, masks)
+    res = run(params_b, batch.arrs, scal_b, masks)
     jax.block_until_ready(res.cost)
     log("batch: LM compile + warm-up done")
     t0 = time.perf_counter()
-    res = run(params_b, batch.arrs, batch.bases, masks)
+    res = run(params_b, batch.arrs, scal_b, masks)
     jax.block_until_ready(res.cost)
     dt = time.perf_counter() - t0
     total_iters = int(np.sum(np.asarray(res.iterations)))
@@ -404,7 +414,8 @@ def measure_batch(n_seq=4, iters=6):
 
     # Batched-linearizer utilization (compiler FLOP accounting).
     jl = jax.jit(lambda pb: jax.vmap(
-        lambda prm, ar, ba: lin(prm, ar, ba))(pb, batch.arrs, batch.bases))
+        lambda prm, ar, sc: lin(prm, ar, {**static_bases, **sc}))(
+            pb, batch.arrs, scal_b))
     o = jl(params_b)
     jax.block_until_ready(o)
     best = 1e9

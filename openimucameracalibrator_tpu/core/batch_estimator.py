@@ -104,18 +104,37 @@ def build_sequence_batch(problems: Sequence[se.SplineProblem],
 
     per = [se.plan_fast_assembly(p, obs_chunk, imu_chunk) for p in problems]
     plan_lists = list(zip(*[pl for pl, _ in per]))  # (obs, acc, gyr) lists
-    n_max = {"so3": n_so3, "r3": n_r3}
 
     def _unify(plans, n_knots_s, n_knots_r):
+        """ONE static chunk-base schedule covering every sequence.
+
+        Sequences share the camera fps, IMU rate and knot spacings, so
+        chunk k of every sequence spans (nearly) the same window of
+        knot indices; a common base = elementwise min with the window
+        widened to the common coverage keeps the chunk geometry
+        HOST-KNOWN — which is what lets the linearizer use the
+        scatter-free static accumulation inside the vmapped batch.
+        """
         k = max(pl.n_chunks for pl in plans)
-        w_s = min(max(pl.w_s for pl in plans), n_knots_s)
-        w_r = min(max(pl.w_r for pl in plans), n_knots_r)
-        s_base = jnp.stack([
-            jnp.clip(_pad_axis0(pl.s_base, k), 0, n_knots_s - w_s)
-            for pl in plans])
-        r_base = jnp.stack([
-            jnp.clip(_pad_axis0(pl.r_base, k), 0, n_knots_r - max(w_r, 1))
-            for pl in plans])
+
+        def merged(bases_list, widths, n_knots):
+            lo = np.full(k, np.iinfo(np.int32).max, np.int64)
+            hi = np.zeros(k, np.int64)
+            for pl_base, w in zip(bases_list, widths):
+                b = np.asarray(pl_base)
+                lo[:len(b)] = np.minimum(lo[:len(b)], b)
+                hi[:len(b)] = np.maximum(hi[:len(b)], b + w)
+            lo[lo == np.iinfo(np.int32).max] = 0
+            w_common = min(int(np.max(hi - lo)) if k else 1, n_knots)
+            base = np.clip(lo, 0, max(n_knots - w_common, 0))
+            return base.astype(np.int32), w_common
+
+        s_base, w_s = merged([pl.s_base for pl in plans],
+                             [pl.w_s for pl in plans], n_knots_s)
+        r_base, w_r = merged([pl.r_base for pl in plans],
+                             [max(pl.w_r, 1) for pl in plans], n_knots_r)
+        if all(pl.w_r == 0 for pl in plans):
+            w_r = 0
         common = se.ChunkPlan(n_chunks=k, chunk=plans[0].chunk, w_s=w_s,
                               w_r=w_r, s_base=None, r_base=None)
         return common, s_base, r_base
@@ -137,6 +156,9 @@ def build_sequence_batch(problems: Sequence[se.SplineProblem],
                                for _, a in per])
 
     dtype = p0.obs_uv.dtype
+    # Chunk bases are HOST-STATIC and shared by all sequences (see
+    # _unify); only the per-sequence scalars are traced. optimize_batch
+    # splits on this: np.ndarray leaves stay closure constants under vmap.
     bases = dict(
         obs_s=obs_s, obs_r=obs_r, acc_s=acc_s, acc_r=acc_r, gyr_s=gyr_s,
         t0=jnp.asarray([p.t0 for p in problems], dtype),
@@ -320,17 +342,25 @@ def optimize_batch(problems: Sequence[se.SplineProblem],
     params_b = stack_params(batch, params0_list)
     masks = _batch_masks(batch, layout, flags)
     cfg = config or lm.LMConfig(max_iters=50, ftol=1e-4)
+    # Host-static chunk geometry stays a closure constant under vmap (the
+    # linearizer then uses the scatter-free static accumulation); only the
+    # per-sequence scalar overrides are vmapped.
+    static_bases = {k: v for k, v in batch.bases.items()
+                    if isinstance(v, np.ndarray)}
+    scal_b = {k: v for k, v in batch.bases.items()
+              if k not in static_bases}
 
     if mode == "independent":
         @jax.jit
-        def run(prm_b, arrs, bases, mask_b):
+        def run(prm_b, arrs, sc_b, mask_b):
             return jax.vmap(
-                lambda prm, ar, ba, mask: lm.lm_optimize(
-                    lambda q: lin(q, ar, ba), lambda q: cost(q, ar, ba),
+                lambda prm, ar, sc, mask: lm.lm_optimize(
+                    lambda q: lin(q, ar, {**static_bases, **sc}),
+                    lambda q: cost(q, ar, {**static_bases, **sc}),
                     layout.retract, prm, mask, cfg)
-            )(prm_b, arrs, bases, mask_b)
+            )(prm_b, arrs, sc_b, mask_b)
 
-        res = run(params_b, batch.arrs, batch.bases, masks)
+        res = run(params_b, batch.arrs, scal_b, masks)
         return BatchResult(params=unstack_params(batch, res.params),
                            cost=res.cost, iterations=res.iterations,
                            converged=res.converged, status=res.status)
@@ -343,14 +373,14 @@ def optimize_batch(problems: Sequence[se.SplineProblem],
 
     def linearize_joint(prm_b):
         H_b, g_b, costs = jax.vmap(
-            lambda prm, ar, ba: lin(prm, ar, ba))(prm_b, batch.arrs,
-                                                  batch.bases)
+            lambda prm, ar, sc: lin(prm, ar, {**static_bases, **sc}))(
+                prm_b, batch.arrs, scal_b)
         return H_b, g_b, jnp.sum(costs)
 
     def cost_joint(prm_b):
         return jnp.sum(jax.vmap(
-            lambda prm, ar, ba: cost(prm, ar, ba))(prm_b, batch.arrs,
-                                                   batch.bases))
+            lambda prm, ar, sc: cost(prm, ar, {**static_bases, **sc}))(
+                prm_b, batch.arrs, scal_b))
 
     def mask_joint(H_b, g_b, mask_b):
         Hm, gm = jax.vmap(

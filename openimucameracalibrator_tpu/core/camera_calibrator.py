@@ -306,3 +306,236 @@ def calibrate_camera(dataset: CornerDataset, model_name: str,
         "init_focal": f0, "board_points": np.asarray(params["pts"]),
     }
     return calib, details
+
+
+# ---------------------------------------------------------------------------
+# Multi-model batched calibration (BASELINE configs[1])
+#
+# N (model, dataset) pairs run through ONE compiled 3-stage BA: camera
+# parameter vectors are padded to a common width, the projection is a
+# lax.switch over the distinct models present, and every LM stage is
+# vmapped over the lane axis — per-lane free masks carry both the model's
+# parameter-group structure and the padding. Model lanes that need
+# multi-start (double sphere) simply become extra lanes, reduced after
+# stage 1. The reference has no such mode (one CameraCalibrator per run).
+# ---------------------------------------------------------------------------
+
+def _switch_project(model_names: tuple):
+    models = [cameras.get_model(n) for n in model_names]
+
+    def project(mid, cam_padded, p_cam):
+        return jax.lax.switch(
+            mid, [lambda c, x, m=m: m.project(c[:m.num_params], x)
+                  for m in models], cam_padded, p_cam)
+
+    return project
+
+
+@functools.partial(jax.jit, static_argnames=("model_names", "max_iters"))
+def _run_ba_stage_multi(params_b, mask_b, view_w_b, obs_b, valid_b, mid_b,
+                        model_names: tuple, max_iters: int):
+    npad = params_b["cam"].shape[-1]
+    layout = _build_layout(obs_b.shape[1], npad, params_b["pts"].shape[1])
+    project = _switch_project(model_names)
+
+    def one(params, mask, view_w, obs, valid, mid):
+        def residual(prm):
+            p_cam = lie.quat_rotate(prm["q_cw"][:, None, :], prm["pts"][None]) \
+                + prm["t_cw"][:, None, :]
+            uv, ok = project(mid, prm["cam"], p_cam)
+            w = (valid & ok).astype(uv.dtype) * view_w[:, None]
+            return ((uv - obs) * w[..., None]).reshape(-1)
+
+        wfn = lambda r: robust.huber_sqrt_weights(r, HUBER_PX, group_size=2)
+        lin, cost, retract = lm.make_dense_linearizer(residual, layout,
+                                                      weight_fn=wfn)
+        res = lm.lm_optimize(lin, cost, retract, params, mask,
+                             lm.LMConfig(max_iters=max_iters, ftol=1e-8))
+        return res.params, res.cost, res.iterations
+
+    return jax.vmap(one)(params_b, mask_b, view_w_b, obs_b, valid_b, mid_b)
+
+
+@functools.partial(jax.jit, static_argnames=("model_names",))
+def _per_view_rmse_multi(params_b, obs_b, valid_b, mid_b, model_names: tuple):
+    project = _switch_project(model_names)
+
+    def one(params, obs, valid, mid):
+        p_cam = lie.quat_rotate(params["q_cw"][:, None, :],
+                                params["pts"][None]) + params["t_cw"][:, None, :]
+        uv, ok = project(mid, params["cam"], p_cam)
+        good = valid & ok
+        err2 = jnp.sum((uv - obs) ** 2, -1) * good
+        n = jnp.maximum(jnp.sum(good, -1), 1)
+        err = jnp.linalg.norm(uv - obs, axis=-1) * good
+        return jnp.sqrt(jnp.sum(err2, -1) / n), err, good
+
+    return jax.vmap(one)(params_b, obs_b, valid_b, mid_b)
+
+
+def calibrate_camera_batch(jobs, options: CameraCalibratorOptions | None = None):
+    """Calibrate N (model_name, CornerDataset) pairs in one compiled solve.
+
+    Returns a list of (CameraCalibration, details) in input order. All
+    datasets must share the image size class (shapes are padded to common
+    maxima). Host-side init (homography/focal, voxel dedup) runs per
+    dataset; the 3-stage BA schedule runs vmapped over lanes.
+    """
+    opts = options or CameraCalibratorOptions()
+    dt = precision.resolve(opts.dtype)
+
+    # --- host-side per-dataset init (same path as calibrate_camera) ---
+    lanes = []  # (job_idx, model, params, obs, valid, is_alt_start)
+    for ji, (model_name, dataset) in enumerate(jobs):
+        model = cameras.get_model(model_name)
+        w, h = dataset.image_size
+        f0, q_cw, t_cw, enough, lam0 = initialize_views(
+            dataset, dt, distortion_aware=(model.name != "pinhole"))
+        cam_pos = np.einsum(
+            "vij,vj->vi",
+            np.transpose(np.asarray(lie.quat_to_matrix(jnp.asarray(q_cw))),
+                         (0, 2, 1)), -t_cw)
+        picked = _voxel_dedup(cam_pos, enough, opts.grid_size, opts.max_views)
+        grid = opts.grid_size
+        while picked.size < opts.min_num_views and grid > 1e-6 and \
+                picked.size < int(np.sum(enough)):
+            grid *= 0.5
+            picked = _voxel_dedup(cam_pos, enough, grid, opts.max_views)
+        if picked.size < opts.min_num_views:
+            raise ValueError(f"job {ji} ({model_name}): only {picked.size} "
+                             f"usable views (need >= {opts.min_num_views})")
+        cam0 = model.init_params(f0, w / 2.0, h / 2.0, dtype=dt)
+        if model.name == "division_undistortion":
+            cam0 = cam0.at[3].set(lam0)
+        base = dict(job=ji, model=model, picked=picked, f0=f0,
+                    obs=np.asarray(dataset.points2d[picked], np.float64),
+                    valid=np.asarray(dataset.valid[picked]),
+                    pts=np.asarray(dataset.board_points, np.float64),
+                    q_cw=q_cw[picked], t_cw=t_cw[picked])
+        lanes.append(dict(base, cam=np.asarray(cam0), alt=False))
+        if model.name == "double_sphere":
+            for xi0 in (-0.25, 0.25):
+                cam_alt = np.asarray(cam0)
+                cam_alt = cam_alt.copy()
+                cam_alt[4] = xi0
+                cam_alt[0] = float(cam0[0]) * (1 + xi0)
+                cam_alt[1] = float(cam0[1]) * (1 + xi0)
+                lanes.append(dict(base, cam=cam_alt, alt=True))
+
+    model_names = tuple(dict.fromkeys(ln["model"].name for ln in lanes))
+    npad = max(cameras.get_model(n).num_params for n in model_names)
+    v_max = max(ln["obs"].shape[0] for ln in lanes)
+    p_max = max(ln["pts"].shape[0] for ln in lanes)
+    L = len(lanes)
+
+    def padv(x, n, axis=0, value=0.0):
+        pad = [(0, 0)] * x.ndim
+        pad[axis] = (0, n - x.shape[axis])
+        return np.pad(x, pad, constant_values=value)
+
+    obs_b = np.zeros((L, v_max, p_max, 2))
+    valid_b = np.zeros((L, v_max, p_max), bool)
+    params_b = {"cam": np.zeros((L, npad)),
+                "q_cw": np.zeros((L, v_max, 4)),
+                "t_cw": np.zeros((L, v_max, 3)),
+                "pts": np.zeros((L, p_max, 3))}
+    params_b["q_cw"][..., 0] = 1.0  # padded views: identity quats
+    view_w_b = np.zeros((L, v_max))
+    mid_b = np.zeros((L,), np.int32)
+    layout = _build_layout(v_max, npad, p_max)
+    D = layout.tangent_dim
+    mask1_b = np.zeros((L, D))
+    mask2_b = np.zeros((L, D))
+    mask3_b = np.zeros((L, D))
+    for i, ln in enumerate(lanes):
+        m = ln["model"]
+        V, P = ln["obs"].shape[:2]
+        obs_b[i, :V, :P] = ln["obs"]
+        valid_b[i, :V, :P] = ln["valid"]
+        params_b["cam"][i, :m.num_params] = ln["cam"]
+        params_b["q_cw"][i, :V] = ln["q_cw"]
+        params_b["t_cw"][i, :V] = ln["t_cw"]
+        params_b["pts"][i, :P] = ln["pts"]
+        view_w_b[i, :V] = 1.0
+        mid_b[i] = model_names.index(m.name)
+
+        def cam_mask(free_idx):
+            c = np.zeros(npad)
+            c[np.asarray(free_idx, int)] = 1.0
+            return c
+
+        pose_mask = np.zeros((v_max, 3))
+        pose_mask[:V] = 1.0
+        g = m.param_groups
+        mask1_b[i] = np.asarray(layout.free_mask(
+            fixed=["pts"],
+            partial_masks={"cam": cam_mask(g["focal"] + g["dist"]),
+                           "q_cw": pose_mask, "t_cw": pose_mask}))
+        mask2_b[i] = np.asarray(layout.free_mask(
+            fixed=["q_cw", "t_cw", "pts"],
+            partial_masks={"cam": cam_mask(g["pp"])}))
+        cam_all = np.zeros(npad)
+        cam_all[:m.num_params] = 1.0
+        mask3_b[i] = np.asarray(layout.free_mask(
+            fixed=["pts"], partial_masks={"cam": cam_all,
+                                          "q_cw": pose_mask,
+                                          "t_cw": pose_mask}))
+
+    jb = {k: jnp.asarray(v, dt) for k, v in params_b.items()}
+    obs_j = jnp.asarray(obs_b, dt)
+    valid_j = jnp.asarray(valid_b)
+    vw = jnp.asarray(view_w_b, dt)
+    mid_j = jnp.asarray(mid_b)
+    m1, m2, m3 = (jnp.asarray(m) for m in (mask1_b, mask2_b, mask3_b))
+
+    # Stage 1 (+ multi-start reduction).
+    prm, cost, _ = _run_ba_stage_multi(jb, m1, vw, obs_j, valid_j, mid_j,
+                                       model_names, opts.max_iters)
+    costs = np.asarray(cost)
+    keep = []
+    for ji in range(len(jobs)):
+        idxs = [i for i, ln in enumerate(lanes) if ln["job"] == ji]
+        finite = [i for i in idxs if np.isfinite(costs[i])]
+        keep.append(min(finite or idxs, key=lambda i: costs[i]))
+    sel = jnp.asarray(keep)
+    take = lambda t: jax.tree_util.tree_map(lambda x: x[sel], t)
+    prm, vw, obs_j, valid_j, mid_j = (take(prm), vw[sel], obs_j[sel],
+                                      valid_j[sel], mid_j[sel])
+    m1, m2, m3 = m1[sel], m2[sel], m3[sel]
+
+    rmse, _, _ = _per_view_rmse_multi(prm, obs_j, valid_j, mid_j, model_names)
+    vw = vw * (rmse < opts.stage1_prune_px)
+    prm, cost, _ = _run_ba_stage_multi(prm, m2, vw, obs_j, valid_j, mid_j,
+                                       model_names, opts.max_iters)
+    prm, cost, _ = _run_ba_stage_multi(prm, m3, vw, obs_j, valid_j, mid_j,
+                                       model_names, opts.max_iters)
+    rmse, _, _ = _per_view_rmse_multi(prm, obs_j, valid_j, mid_j, model_names)
+    vw = vw * (rmse < opts.stage3_prune_px)
+    prm, cost, _ = _run_ba_stage_multi(prm, m3, vw, obs_j, valid_j, mid_j,
+                                       model_names, opts.max_iters)
+
+    rmse, err, good = _per_view_rmse_multi(prm, obs_j, valid_j, mid_j,
+                                           model_names)
+    out = []
+    err_np, good_np = np.asarray(err), np.asarray(good)
+    vw_np = np.asarray(vw)
+    for ji, (model_name, dataset) in enumerate(jobs):
+        m = cameras.get_model(model_name)
+        ln = lanes[keep[ji]]
+        V = ln["obs"].shape[0]
+        act = (vw_np[ji, :, None] > 0) & good_np[ji]
+        tot = err_np[ji][act].sum()
+        n = max(int(act.sum()), 1)
+        calib = CameraCalibration(
+            model_name=m.name,
+            params=np.asarray(prm["cam"][ji][:m.num_params]),
+            image_size=dataset.image_size, mean_reproj_error=float(tot / n),
+            fps=dataset.fps)
+        details = {"picked_views": ln["picked"],
+                   "active": vw_np[ji, :V] > 0,
+                   "q_cw": np.asarray(prm["q_cw"][ji][:V]),
+                   "t_cw": np.asarray(prm["t_cw"][ji][:V]),
+                   "per_view_rmse": np.asarray(rmse[ji][:V]),
+                   "init_focal": ln["f0"]}
+        out.append((calib, details))
+    return out

@@ -982,15 +982,17 @@ def plan_bases(plans) -> dict:
 
 
 def make_solver_functions_fast(p: SplineProblem, layout,
-                               obs_chunk: int = 2048, imu_chunk: int = 256):
+                               obs_chunk: int = 4096, imu_chunk: int = 256):
     """(linearize_fn, cost_fn) using chunk-local dense assembly (see above).
 
     Produces the same (H, g, cost) as :func:`make_solver_functions` (tested
     to numerical precision) but orders of magnitude faster inside the LM
     loop on TPU: block-one-hot matmul densification (no large scatters),
-    per-chunk MXU Gram matrices, one global scatter-add per family. Chunk
-    defaults swept on a real v5e at GoPro-DS3 scale (obs 2048 / imu 256:
-    124 ms per linearize vs 377 ms for the r2 design).
+    vmapped per-chunk MXU Gram matrices, and a scatter-free static-DUS
+    accumulation into H. Chunk defaults swept on a real v5e at
+    GoPro-DS3 scale (r4: obs 4096 / imu 256 = 64 ms per linearize, vs
+    124 ms for the r3 scan+scatter design and 377 ms for r2; larger
+    chunks lose to the O(L^2) window growth of the per-chunk Gram).
     """
     plans, arrs = plan_fast_assembly(p, obs_chunk, imu_chunk)
     lin = make_fast_linearizer(p, layout, plans)

@@ -114,3 +114,39 @@ def test_division_seed_from_radial_init():
     _, _, _, _, lam = camera_calibrator.initialize_views(
         scene_to_dataset(scene), jnp.float32, distortion_aware=True)
     assert abs(lam - float(true[3])) < 7e-7, lam
+
+
+def test_multi_model_batched_matches_sequential():
+    """One compiled multi-model batch (padded params + lax.switch
+    projection, vmapped 3-stage BA) recovers each model like the
+    per-model path (BASELINE configs[1] "multi-model batched
+    intrinsics"; no reference analog — one CameraCalibrator per run)."""
+    names = ["pinhole", "division_undistortion", "double_sphere"]
+    jobs = []
+    for i, name in enumerate(names):
+        model = cameras.get_model(name)
+        scene = synthetic.make_intrinsics_scene(
+            model, jnp.array(TRUE_PARAMS[name]), num_views=45, noise_px=0.2,
+            seed=3 + i)
+        jobs.append((name, scene_to_dataset(scene)))
+    opts = camera_calibrator.CameraCalibratorOptions(grid_size=0.01)
+    results = camera_calibrator.calibrate_camera_batch(jobs, opts)
+    assert len(results) == len(jobs)
+    for (name, ds), (calib, details) in zip(jobs, results):
+        assert calib.model_name == name
+        assert calib.mean_reproj_error < 0.35, (name, calib.mean_reproj_error)
+        want = np.asarray(TRUE_PARAMS[name])
+        got = np.asarray(calib.params)
+        assert got.shape == want.shape
+        if name == "double_sphere":
+            # (f, xi) has near-equivalent mirror families over a finite
+            # FOV; the family-invariant near-axis magnification f/(1+xi)
+            # is what must be recovered.
+            mag_got = got[0] / (1.0 + got[4])
+            mag_want = want[0] / (1.0 + want[4])
+            assert abs(mag_got - mag_want) / mag_want < 0.02, (got, want)
+        else:
+            # focal within 1%.
+            assert abs(got[0] - want[0]) / want[0] < 0.01, (name, got, want)
+        # principal point within 2 px.
+        np.testing.assert_allclose(got[2], want[2], atol=2.0)

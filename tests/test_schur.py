@@ -23,7 +23,9 @@ def _dense_reference(p, params0):
 
 def test_schur_partition_invariants(small_problem):  # noqa: F811
     p, params0 = small_problem
-    mesh = sharded.make_mesh(8)
+    # 4 devices: the invariants are per-device claims; compile cost on the
+    # 2-core CI box scales with mesh size (tests/README.md tier budget).
+    mesh = sharded.make_mesh(4)
     _, _, _, layout, part = schur.make_schur_solver_functions(
         p, mesh, obs_chunk=128, imu_chunk=32)
     D = layout.tangent_dim
@@ -93,6 +95,8 @@ def test_schur_solve_matches_dense(small_problem):  # noqa: F811
     mask = layout.free_mask(fixed=se.flags_to_fixed(se.DEFAULT_FLAGS))
     Hm, gm = lm._mask_system(H0, g0, mask.astype(H0.dtype))
 
+    # The one 8-way schur program in the default tier (full coverage of
+    # the halo/separator pattern at CI mesh width).
     mesh = sharded.make_mesh(8)
     lin_s, cost_s, solve_s, layout_s, part = schur.make_schur_solver_functions(
         p, mesh, obs_chunk=128, imu_chunk=32)
@@ -113,7 +117,7 @@ def test_schur_lm_matches_single_device(small_problem):  # noqa: F811
     p, params0 = small_problem
     flags = frozenset({se.SPLINE, se.T_I_C, se.IMU_BIASES, se.GRAVITY_DIR})
     res_single = se.optimize(p, params0, flags, max_iters=3)
-    mesh = sharded.make_mesh(8)
+    mesh = sharded.make_mesh(4)
     res_schur = schur.optimize_schur(p, params0, mesh, flags, max_iters=3,
                                      obs_chunk=128, imu_chunk=32)
     np.testing.assert_allclose(float(res_schur.cost), float(res_single.cost),
@@ -137,7 +141,7 @@ def test_schur_with_points_prior(small_problem):  # noqa: F811
     mask = layout.free_mask(fixed=se.flags_to_fixed(flags))
     Hm, gm = lm._mask_system(H0, g0, mask.astype(H0.dtype))
 
-    mesh = sharded.make_mesh(8)
+    mesh = sharded.make_mesh(4)
     lin_s, cost_s, solve_s, _, _ = schur.make_schur_solver_functions(
         pe, mesh, obs_chunk=128, imu_chunk=32)
     NE, _, c1 = lin_s(params)

@@ -61,7 +61,9 @@ def test_sharded_lm_matches_single_device(small_problem):
     p, params0 = small_problem
     flags = frozenset({se.SPLINE, se.T_I_C, se.IMU_BIASES, se.GRAVITY_DIR})
     res_single = se.optimize(p, params0, flags, max_iters=3)
-    mesh = sharded.make_mesh(8)
+    # 4 devices: equality is device-count independent; the 8-way program
+    # is covered by test_sharded_normal_equations_match (compile budget).
+    mesh = sharded.make_mesh(4)
     res_sh = sharded.optimize_sharded(p, params0, mesh, flags, max_iters=3,
                                       obs_chunk=128, imu_chunk=32)
     np.testing.assert_allclose(float(res_sh.cost), float(res_single.cost),
