@@ -28,7 +28,7 @@ def build_parser(p: argparse.ArgumentParser | None = None):
     p.add_argument("--detector_kernel", default="auto",
                    choices=["auto", "xla", "pallas"],
                    help="corner-response implementation for the native "
-                        "detector (auto = fused Pallas kernel on TPU)")
+                        "detector (auto = measured winner: XLA)")
     return p
 
 

@@ -66,7 +66,7 @@ def build_parser():
     p.add_argument("--detector_kernel", default="auto",
                    choices=["auto", "xla", "pallas"],
                    help="corner-response implementation for the native "
-                        "detector (auto = fused Pallas kernel on TPU)")
+                        "detector (auto = measured winner: XLA)")
     p.add_argument("--detector_backend", default="native",
                    choices=["native", "opencv"])
     p.add_argument("--optimize_board_points", action="store_true",
@@ -129,8 +129,11 @@ def run(args) -> dict:
     from openimucameracalibrator_tpu.core import (board_extractor, camera_calibrator,
                                                   imu_cam_rotation,
                                                   imu_camera_calibrator, pose_estimator)
+    from openimucameracalibrator_tpu.detect import image as image_mod
     from openimucameracalibrator_tpu.ops import sew as sew_mod
     from openimucameracalibrator_tpu.utils import io
+
+    image_mod.set_detector_kernel(getattr(args, "detector_kernel", "auto"))
 
     ws = args.workspace
     if ws:

@@ -125,18 +125,24 @@ class SplineProblem(NamedTuple):
 
 
 def build_layout(p: SplineProblem) -> blocks.BlockLayout:
+    """Global tangent layout. Block ORDER is a performance contract: each
+    measurement family's non-knot columns are CONTIGUOUS (accel ->
+    bias_a|gravity|accl_intr, gyro -> bias_g|gyro_intr, reprojection ->
+    q_i_c..time_offset), so the per-chunk Hessian blocks land in one
+    static placement per region pair instead of one per block — the
+    accumulate op count is what bounds the linearizer's dispatch time."""
     specs = [
         blocks.BlockSpec("q_so3", (p.n_so3, 4), "quat"),
         blocks.BlockSpec("t_r3", (p.n_r3, 3)),
         blocks.BlockSpec("bias_a", (p.n_bias, 3)),
-        blocks.BlockSpec("bias_g", (p.n_bias, 3)),
         blocks.BlockSpec("gravity", (3,)),
+        blocks.BlockSpec("accl_intr", (6,)),
+        blocks.BlockSpec("bias_g", (p.n_bias, 3)),
+        blocks.BlockSpec("gyro_intr", (9,)),
         blocks.BlockSpec("q_i_c", (4,), "quat"),
         blocks.BlockSpec("t_i_c", (3,)),
         blocks.BlockSpec("line_delay", (1,)),
         blocks.BlockSpec("time_offset", (1,)),
-        blocks.BlockSpec("accl_intr", (6,)),
-        blocks.BlockSpec("gyro_intr", (9,)),
     ]
     if p.n_points > 0:
         specs.append(blocks.BlockSpec("points", (p.n_points, 3)))
@@ -937,7 +943,8 @@ def make_fast_linearizer(p: SplineProblem, layout, plans,
             (3 * (_c(bases["acc_s"]) - s_orgc), 3 * acc_plan.w_s),
             (off["t_r3"] + 3 * (_c(bases["acc_r"]) - r_orgc),
              3 * acc_plan.w_r),
-            (off["bias_a"], nb3), (off["gravity"], 3), (off["accl_intr"], 6)])
+            # bias_a | gravity | accl_intr: contiguous by layout contract.
+            (off["bias_a"], nb3 + 9)])
 
         gyr_arrs = {k: arrs[k] for k in ("gyro_t", "gyro_meas", "gyro_valid")}
         Hg, gg, c_g = _map_chunks(
@@ -946,7 +953,8 @@ def make_fast_linearizer(p: SplineProblem, layout, plans,
         cost = cost + c_g
         H, g = _acc_dispatch(H, g, Hg, gg, [
             (3 * (_c(bases["gyr_s"]) - s_orgc), 3 * gyr_plan.w_s),
-            (off["bias_g"], nb3), (off["gyro_intr"], 9)])
+            # bias_g | gyro_intr: contiguous by layout contract.
+            (off["bias_g"], nb3 + 9)])
 
         obs_keys = tuple(_obs_fields(p).keys())
         obs_arrs = {k: arrs[k] for k in obs_keys}
@@ -1203,13 +1211,18 @@ def enable_board_points(p: SplineProblem, *, point_prior_std: float = 1e-3,
                       pt_prior_sqrt_info=jnp.asarray(W, dtype))
 
 
-# Below this tangent dimension the dense damped Cholesky wins on TPU:
-# measured at D=5723 (GoPro9-DS3 scale) dense = 31 ms vs banded = 50 ms —
-# the ~110-step sequential slab scan is latency-bound while the one-shot
-# dense factorization keeps the MXU busy, and the f32 block recurrences
-# lose accuracy the dense+refinement path keeps. The banded path is for
-# the multi-sequence / long-recording regime where D^3 becomes real.
-BANDED_MIN_DIM = 12000
+# Below this tangent dimension the dense damped Cholesky wins on TPU.
+# Measured on v5e (bench.py banded_regime stage, r4 sweep):
+#   D= 5,723 ( 60 s): dense 32.0 ms   banded 51.9 ms
+#   D=11,381 (120 s): dense 56.1 ms   banded 83.9 ms
+#   D=17,039 (180 s): dense 112.3 ms  banded 139.9 ms
+# The dense factorization gets MORE MXU-efficient with size (2.0 ->
+# 14.7 achieved TFLOPS across that sweep) while the banded slab scan
+# grows ~linearly but stays latency-bound; extrapolating the measured
+# slopes puts the crossover near D ~ 2.5e4 (several-minute recordings /
+# large multi-sequence problems). The constant is that measured
+# extrapolation, not a guess — re-sweep when the solve path changes.
+BANDED_MIN_DIM = 25000
 
 
 def make_solve_fn(p: SplineProblem, layout, solver: str = "auto"):

