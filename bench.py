@@ -37,7 +37,7 @@ TIME_OFFSET = -0.0813
 
 # Bump when the solver code path changes materially (invalidates the
 # measured-once caches, since both sides of vs_baseline share the code).
-SOLVER_VERSION = "r4.0-parallel-chunk-vmap"
+SOLVER_VERSION = "r4.1-static-acc+tail-contract"
 
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "bench_cache")

@@ -65,6 +65,18 @@ def calibrate_imu_camera(corners: CornerDataset, calib: CameraCalibration,
     frame -> IMU frame as used in T_w_c = T_w_i * T_i_c) is its conjugate.
     """
     dtype = precision.resolve(dtype)
+    # Reference parity: the spline problem contains only views that
+    # SURVIVED pose estimation + filtering — the reference rebuilds its
+    # recon from the pose dataset's views
+    # (continuous_time_imu_to_camera_calibration.cc:109-161), so a frame
+    # whose corners defeated RANSAC (misdetections shift whole corner
+    # neighborhoods) never injects observations into the batch. Huber
+    # alone keeps the SOLUTION robust to such views, but the reported
+    # mean reprojection error would still carry them.
+    if poses.valid.shape[0] == corners.valid.shape[0]:
+        corners = dataclasses.replace(
+            corners, valid=np.asarray(corners.valid)
+            & np.asarray(poses.valid)[:, None])
     problem = se.build_problem(corners, calib, imu, sew, init.time_offset,
                                rolling_shutter, dtype=dtype)
     if optimize_board_points or reproj_cov is not None:

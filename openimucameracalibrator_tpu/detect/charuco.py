@@ -19,6 +19,7 @@ import dataclasses
 
 import numpy as np
 
+from openimucameracalibrator_tpu.detect import aruco_dict as adict_sub
 from openimucameracalibrator_tpu.detect import image as im
 from openimucameracalibrator_tpu.detect import quads
 from openimucameracalibrator_tpu.detect.aruco_dict import (ArucoDictionary,
@@ -78,10 +79,15 @@ def detect_charuco(gray: np.ndarray, spec: CharucoBoardSpec,
     import jax.numpy as jnp
 
     opts = opts or CharucoDetectorOptions()
-    mids, mcorners = quads.detect_markers(gray, spec.dictionary, opts.marker)
     board_mids, board_mcorners = spec.marker_board_corners()
-    known = np.isin(mids, board_mids)
-    mids, mcorners = mids[known], mcorners[known]
+    # Decode against the BOARD's id subset, not the full dictionary: a
+    # misdecode onto another valid board id corrupts the local corner
+    # homographies (whole neighborhoods shift by one square); the subset
+    # raises the effective code distance and re-derives the correction
+    # budget from it (see aruco_dict.subset_dictionary).
+    sub, id_map = adict_sub.subset_dictionary(spec.dictionary, board_mids)
+    mids_sub, mcorners = quads.detect_markers(gray, sub, opts.marker)
+    mids = id_map[mids_sub]
     if len(mids) < opts.min_markers:
         return np.zeros((0,), np.int64), np.zeros((0, 2))
 

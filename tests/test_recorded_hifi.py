@@ -98,16 +98,30 @@ def test_hifi_fisheye_intrinsics(tmp_path_factory):
     assert abs(got[0] - rec.cam_params[0]) / rec.cam_params[0] < 0.01
     assert abs(got[2] - rec.cam_params[2]) < 2.0
     assert abs(got[3] - rec.cam_params[3]) < 2.0
-    # Distortion recovery, compared in FUNCTION space: the odd-power
-    # theta-polynomial basis (theta^3..theta^9) is near-collinear over a
-    # finite field of view, so raw coefficients are ill-conditioned while
-    # the projected radius curve r(theta) = f*d(theta) is what the data
-    # constrains. Demand sub-pixel agreement across the observed field.
-    theta = np.linspace(0.0, 1.1, 200)  # up to the image-corner angle
-    def d_theta(d):
+    # Distortion recovery, compared in FUNCTION space over the OBSERVED
+    # field: the odd-power theta-polynomial basis (theta^3..theta^9) is
+    # near-collinear over a finite FOV, so raw coefficients are
+    # ill-conditioned (and unconstrained beyond the largest observed
+    # angle); the projected radius curve r(theta) = f*d(theta) on the
+    # covered field is what the data determines. Demand sub-pixel
+    # agreement there.
+    r_obs = np.linalg.norm(
+        np.asarray(ds.points2d) - np.asarray([got[2], got[3]]), axis=-1)
+    r_max = float(r_obs[np.asarray(ds.valid)].max())
+
+    def d_theta(d, theta):
         return (theta + d[0] * theta ** 3 + d[1] * theta ** 5
                 + d[2] * theta ** 7 + d[3] * theta ** 9)
-    r_got = got[0] * d_theta(np.asarray(got[4:8]))
-    r_true = rec.cam_params[0] * d_theta(np.asarray(rec.cam_params[4:8]))
+
+    # Invert r_true(theta_max) = r_max with the TRUE parameters.
+    grid = np.linspace(0.0, 1.4, 2000)
+    r_true_grid = rec.cam_params[0] * d_theta(np.asarray(rec.cam_params[4:8]),
+                                              grid)
+    theta_max = grid[np.searchsorted(r_true_grid, r_max).clip(0, 1999)]
+    theta = np.linspace(0.0, theta_max, 200)
+    r_got = got[0] * d_theta(np.asarray(got[4:8]), theta)
+    r_true = rec.cam_params[0] * d_theta(np.asarray(rec.cam_params[4:8]),
+                                         theta)
     assert np.max(np.abs(r_got - r_true)) < 1.0, \
-        (np.max(np.abs(r_got - r_true)), got[4:8], rec.cam_params[4:8])
+        (np.max(np.abs(r_got - r_true)), theta_max, got[4:8],
+         rec.cam_params[4:8])
