@@ -483,15 +483,25 @@ def measure_detection():
     out["detection_fps_xla"] = round(fps, 1)
     out["xla_ms_per_frame"] = round(t * 1e3, 3)
 
-    # End-to-end native charuco detection with the production dispatch
-    # (Pallas kernel on TPU): proves the wired path on the real chip.
-    image_mod.set_detector_kernel("auto")
+    # End-to-end native charuco detection with the Pallas kernel
+    # EXPLICITLY selected (proves the wired dispatch path on the real
+    # chip; the production default is the measured winner, XLA).
     spec = charuco.CharucoBoardSpec(10, 7, 0.04, 0.03, d)
+    if on_tpu:
+        image_mod.set_detector_kernel("pallas")
+        try:
+            t0 = time.perf_counter()
+            ids, _ = charuco.detect_charuco(canvas, spec)
+            out["e2e_pallas_detect_wall_s"] = round(time.perf_counter() - t0,
+                                                    3)
+            out["e2e_pallas_corners_found"] = int(len(ids))
+        finally:
+            image_mod.set_detector_kernel("auto")
     t0 = time.perf_counter()
-    ids, corners = charuco.detect_charuco(canvas, spec)
+    ids, _ = charuco.detect_charuco(canvas, spec)
     out["e2e_detect_wall_s"] = round(time.perf_counter() - t0, 3)
     out["e2e_corners_found"] = int(len(ids))
-    out["kernel_selected"] = image_mod.detector_kernel()
+    out["kernel_default"] = image_mod.detector_kernel()
     return out
 
 

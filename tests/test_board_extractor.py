@@ -228,3 +228,31 @@ def test_tag36h11_opencv_detects_native_rendered_grid():
     det = cv2.aruco.ArucoDetector(adict, cv2.aruco.DetectorParameters())
     corners, ids, _ = det.detectMarkers(img)
     assert ids is not None and sorted(ids.reshape(-1).tolist()) == [0, 1, 2, 3, 4, 5]
+
+
+def test_subset_dictionary_raises_distance_and_maps_ids():
+    """Board-subset decoding (aruco_dict.subset_dictionary): the subset's
+    correction budget derives from its true rotation-aware minimum
+    Hamming distance, id_map round-trips to original ids, and a bit
+    pattern that decodes to a NON-board id under the full dictionary is
+    rejected by the subset (the misdecode class that shifted corner
+    neighborhoods by one square on 960x540 fixtures)."""
+    from openimucameracalibrator_tpu.detect import aruco_dict as ad
+
+    d = ad.aruco_original_dictionary()
+    ids = np.arange(40)
+    sub, id_map = ad.subset_dictionary(d, ids)
+    assert sub.num_markers == 40
+    np.testing.assert_array_equal(id_map, ids)
+    assert 0 <= sub.max_correction_bits <= d.max_correction_bits
+
+    # Decode a board marker through the subset: maps back to itself.
+    bits = d.bits[7]
+    got_ids, rots, ham = ad.decode_bits(bits[None], sub)
+    assert got_ids[0] >= 0 and int(id_map[got_ids[0]]) == 7 and ham[0] == 0
+
+    # A marker OUTSIDE the subset must not decode as a board marker
+    # unless it happens to sit within the correction budget of one.
+    outside = d.bits[500]
+    got_ids, _, ham = ad.decode_bits(outside[None], sub)
+    assert got_ids[0] == -1 or ham[0] <= sub.max_correction_bits
