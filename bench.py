@@ -475,6 +475,95 @@ def measure_batch(n_seq=4, iters=6):
     return out
 
 
+def measure_batch_scaling(ns=(2, 4, 8), lm_iters=6):
+    """Batch-size sweep (VERDICT r3 next #1 'rising with N'): the batched
+    linearizer's wall time, achieved TFLOPS and v5e-peak utilization at
+    N = 2/4/8 sequences, plus the full vmapped LM at N=8 — aggregate
+    sequence-iterations/s to compare against the single-sequence headline.
+    Fixed per-call overhead (dispatch + the client sync floor) amortizes
+    across the batch, so utilization and aggregate throughput should rise
+    with N; this stage MEASURES that curve instead of asserting it."""
+    import jax
+    import jax.numpy as jnp
+
+    from openimucameracalibrator_tpu.core import batch_estimator as be
+    from openimucameracalibrator_tpu.core import spline_estimator as se
+    from openimucameracalibrator_tpu.solver import lm
+
+    n_max = max(ns)
+    durations = (60.0, 54.0, 57.0, 60.0, 51.0, 60.0, 48.0, 57.0)
+    problems, inits = [], []
+    for i in range(n_max):
+        problem, params0, _, _ = build_ds3_problem(
+            jnp.float32, duration=durations[i % len(durations)], seed=7 + i)
+        problems.append(problem)
+        inits.append(params0)
+        log(f"batch_scaling: sequence {i} built")
+
+    out = {"linearize_by_n": {}}
+    for n in ns:
+        if remaining() < 180 and n != ns[0]:
+            log(f"batch_scaling: stopping before N={n} (budget)")
+            break
+        batch = be.build_sequence_batch(problems[:n], obs_chunk=4096,
+                                        imu_chunk=256)
+        layout = se.build_layout(batch.p_ref)
+        lin = se.make_fast_linearizer(batch.p_ref, layout, batch.plans,
+                                      include_prior=False)
+        params_b = be.stack_params(batch, inits[:n])
+        static_bases = {k: v for k, v in batch.bases.items()
+                        if isinstance(v, np.ndarray)}
+        scal_b = {k: v for k, v in batch.bases.items()
+                  if k not in static_bases}
+        jl = jax.jit(lambda pb, ab=batch.arrs, sb=scal_b, st=static_bases:
+                     jax.vmap(lambda prm, ar, sc: lin(
+                         prm, ar, {**st, **sc}))(pb, ab, sb))
+        o = jl(params_b)
+        jax.block_until_ready(o)
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            o = jl(params_b)
+            jax.block_until_ready(o)
+            best = min(best, time.perf_counter() - t0)
+        entry = {"linearize_ms": round(best * 1e3, 2)}
+        try:
+            ca = jl.lower(params_b).compile().cost_analysis()
+            flops = float((ca or {}).get("flops", 0.0))
+            if flops > 0:
+                entry["achieved_tflops"] = round(flops / best / 1e12, 3)
+                entry["util_vs_v5e_f32_peak"] = round(flops / best / 49e12, 4)
+        except Exception as e:  # noqa: BLE001
+            log(f"batch_scaling cost_analysis unavailable: {e}")
+        out["linearize_by_n"][f"n{n}"] = entry
+        log(f"batch_scaling: N={n} {entry}")
+
+        if n == n_max and remaining() > 150:
+            cost = be.make_batch_cost(batch.p_ref)
+            flags = se.DEFAULT_FLAGS | {se.CAM_LINE_DELAY, se.TIME_OFFSET}
+            masks = be._batch_masks(batch, layout, flags)
+            cfg = lm.LMConfig(max_iters=lm_iters, ftol=0.0)
+            run = jax.jit(jax.vmap(
+                lambda prm, ar, sc, m: lm.lm_optimize(
+                    lambda q: lin(q, ar, {**static_bases, **sc}),
+                    lambda q: cost(q, ar, {**static_bases, **sc}),
+                    layout.retract, prm, m, cfg)))
+            res = run(params_b, batch.arrs, scal_b, masks)
+            jax.block_until_ready(res.cost)
+            log("batch_scaling: N=%d LM compile + warm-up done" % n)
+            t0 = time.perf_counter()
+            res = run(params_b, batch.arrs, scal_b, masks)
+            jax.block_until_ready(res.cost)
+            dt = time.perf_counter() - t0
+            total_iters = int(np.sum(np.asarray(res.iterations)))
+            out[f"lm_n{n}"] = {
+                "aggregate_seq_iters_per_sec": round(total_iters / dt, 3),
+                "wall_s": round(dt, 3),
+                "lm_iterations_total": total_iters,
+            }
+    return out
+
+
 def measure_detection():
     """Detection hot-loop throughput at 960x540 on the current device:
     fused Pallas corner-response+NMS+top-k vs the unfused XLA path
@@ -748,6 +837,8 @@ def main():
 
     banded = _inproc_stage("banded_regime", measure_banded, min_budget=240)
     batch = _inproc_stage("batch_sequences", measure_batch, min_budget=300)
+    batch_scal = _inproc_stage("batch_scaling", measure_batch_scaling,
+                               min_budget=420)
 
     # Headline LM last among the TPU stages: its long program leaves the
     # latency floor behind, but a single ~1 s program with one sync only
@@ -796,6 +887,7 @@ def main():
         "n_imu_samples": res["n_imu"],
         "breakdown_ms": breakdown,
         "multi_sequence_batch": batch,
+        "batch_scaling": batch_scal,
         "detection": det,
         "banded_regime": banded,
         "scaling_iters_per_sec": scal,
