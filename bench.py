@@ -475,14 +475,20 @@ def measure_batch(n_seq=4, iters=6):
     return out
 
 
-def measure_batch_scaling(ns=(2, 4, 8), lm_iters=6):
+def measure_batch_scaling(ns=(2, 4, 6), lm_iters=6):
     """Batch-size sweep (VERDICT r3 next #1 'rising with N'): the batched
     linearizer's wall time, achieved TFLOPS and v5e-peak utilization at
-    N = 2/4/8 sequences, plus the full vmapped LM at N=8 — aggregate
-    sequence-iterations/s to compare against the single-sequence headline.
-    Fixed per-call overhead (dispatch + the client sync floor) amortizes
-    across the batch, so utilization and aggregate throughput should rise
-    with N; this stage MEASURES that curve instead of asserting it."""
+    N = 2/4/6 sequences, plus the full vmapped LM at the largest N —
+    aggregate sequence-iterations/s to compare against the
+    single-sequence headline. Fixed per-call overhead (dispatch + the
+    client sync floor) amortizes across the batch, so utilization and
+    aggregate throughput rise with N; this stage MEASURES that curve
+    instead of asserting it. Large N hits the v5e's 16 GB HBM: at N=8
+    the compiler reports 15.80 G needed (dominated by the materialized
+    per-chunk Jacobian f32[N,56,4096,2,38,3], 1.56 G unpadded at N=8
+    plus 4.5x tiling padding — spline_estimator.py:631), and N=6 fails
+    the same way; failed N entries are recorded in the output rather
+    than aborting the sweep."""
     import jax
     import jax.numpy as jnp
 
@@ -501,31 +507,42 @@ def measure_batch_scaling(ns=(2, 4, 8), lm_iters=6):
         log(f"batch_scaling: sequence {i} built")
 
     out = {"linearize_by_n": {}}
+    last_ok = None  # (n, batch, layout, lin, params_b, static_bases, scal_b)
     for n in ns:
         if remaining() < 180 and n != ns[0]:
             log(f"batch_scaling: stopping before N={n} (budget)")
             break
-        batch = be.build_sequence_batch(problems[:n], obs_chunk=4096,
-                                        imu_chunk=256)
-        layout = se.build_layout(batch.p_ref)
-        lin = se.make_fast_linearizer(batch.p_ref, layout, batch.plans,
-                                      include_prior=False)
-        params_b = be.stack_params(batch, inits[:n])
-        static_bases = {k: v for k, v in batch.bases.items()
-                        if isinstance(v, np.ndarray)}
-        scal_b = {k: v for k, v in batch.bases.items()
-                  if k not in static_bases}
-        jl = jax.jit(lambda pb, ab=batch.arrs, sb=scal_b, st=static_bases:
-                     jax.vmap(lambda prm, ar, sc: lin(
-                         prm, ar, {**st, **sc}))(pb, ab, sb))
-        o = jl(params_b)
-        jax.block_until_ready(o)
-        best = 1e9
-        for _ in range(3):
-            t0 = time.perf_counter()
+        try:
+            batch = be.build_sequence_batch(problems[:n], obs_chunk=4096,
+                                            imu_chunk=256)
+            layout = se.build_layout(batch.p_ref)
+            lin = se.make_fast_linearizer(batch.p_ref, layout, batch.plans,
+                                          include_prior=False)
+            params_b = be.stack_params(batch, inits[:n])
+            static_bases = {k: v for k, v in batch.bases.items()
+                            if isinstance(v, np.ndarray)}
+            scal_b = {k: v for k, v in batch.bases.items()
+                      if k not in static_bases}
+            jl = jax.jit(
+                lambda pb, ab=batch.arrs, sb=scal_b, st=static_bases:
+                jax.vmap(lambda prm, ar, sc: lin(
+                    prm, ar, {**st, **sc}))(pb, ab, sb))
             o = jl(params_b)
             jax.block_until_ready(o)
-            best = min(best, time.perf_counter() - t0)
+            best = 1e9
+            for _ in range(3):
+                t0 = time.perf_counter()
+                o = jl(params_b)
+                jax.block_until_ready(o)
+                best = min(best, time.perf_counter() - t0)
+            del o
+        except Exception as e:  # noqa: BLE001 — e.g. HBM OOM at large N
+            log(f"batch_scaling: N={n} failed ({type(e).__name__}); "
+                "stopping sweep")
+            out["linearize_by_n"][f"n{n}"] = {
+                "error": type(e).__name__,
+                "detail": " ".join(str(e).split())[:160]}
+            break
         entry = {"linearize_ms": round(best * 1e3, 2)}
         try:
             ca = jl.lower(params_b).compile().cost_analysis()
@@ -537,8 +554,11 @@ def measure_batch_scaling(ns=(2, 4, 8), lm_iters=6):
             log(f"batch_scaling cost_analysis unavailable: {e}")
         out["linearize_by_n"][f"n{n}"] = entry
         log(f"batch_scaling: N={n} {entry}")
+        last_ok = (n, batch, layout, lin, params_b, static_bases, scal_b)
 
-        if n == n_max and remaining() > 150:
+    if last_ok is not None and remaining() > 150:
+        n, batch, layout, lin, params_b, static_bases, scal_b = last_ok
+        try:
             cost = be.make_batch_cost(batch.p_ref)
             flags = se.DEFAULT_FLAGS | {se.CAM_LINE_DELAY, se.TIME_OFFSET}
             masks = be._batch_masks(batch, layout, flags)
@@ -561,6 +581,9 @@ def measure_batch_scaling(ns=(2, 4, 8), lm_iters=6):
                 "wall_s": round(dt, 3),
                 "lm_iterations_total": total_iters,
             }
+        except Exception as e:  # noqa: BLE001
+            log(f"batch_scaling: LM at N={n} failed ({type(e).__name__})")
+            out[f"lm_n{n}"] = {"error": type(e).__name__}
     return out
 
 
