@@ -475,20 +475,25 @@ def measure_batch(n_seq=4, iters=6):
     return out
 
 
-def measure_batch_scaling(ns=(2, 4, 6), lm_iters=6):
+def measure_batch_scaling(ns=(2, 4, 8), lm_iters=6):
     """Batch-size sweep (VERDICT r3 next #1 'rising with N'): the batched
     linearizer's wall time, achieved TFLOPS and v5e-peak utilization at
-    N = 2/4/6 sequences, plus the full vmapped LM at the largest N —
-    aggregate sequence-iterations/s to compare against the
+    N = 2/4/8 sequences, plus the full vmapped LM at the largest N that
+    fits — aggregate sequence-iterations/s to compare against the
     single-sequence headline. Fixed per-call overhead (dispatch + the
     client sync floor) amortizes across the batch, so utilization and
     aggregate throughput rise with N; this stage MEASURES that curve
-    instead of asserting it. Large N hits the v5e's 16 GB HBM: at N=8
-    the compiler reports 15.80 G needed (dominated by the materialized
-    per-chunk Jacobian f32[N,56,4096,2,38,3], 1.56 G unpadded at N=8
-    plus 4.5x tiling padding — spline_estimator.py:631), and N=6 fails
-    the same way; failed N entries are recorded in the output rather
-    than aborting the sweep."""
+    instead of asserting it.
+
+    Memory regime switch: the vmap-over-chunks linearizer materializes
+    every chunk's AD buffers at once and exceeds the v5e's 16 GB HBM at
+    N>=6 (compiler-reported 15.80 G at N=8, dominated by the per-chunk
+    Jacobian f32[N,56,4096,2,38,3] + 4.5x tiling padding,
+    spline_estimator.py:631). When that happens the stage falls back to
+    the linearizer's scan-over-chunks mode (sequential=True: one chunk's
+    buffers live at a time; each scan step still processes N x 4096
+    observations, so steps are MXU-sized, not the round-3 slivers) and
+    records which mode each N ran in."""
     import jax
     import jax.numpy as jnp
 
@@ -512,38 +517,47 @@ def measure_batch_scaling(ns=(2, 4, 6), lm_iters=6):
         if remaining() < 180 and n != ns[0]:
             log(f"batch_scaling: stopping before N={n} (budget)")
             break
-        try:
-            batch = be.build_sequence_batch(problems[:n], obs_chunk=4096,
-                                            imu_chunk=256)
-            layout = se.build_layout(batch.p_ref)
-            lin = se.make_fast_linearizer(batch.p_ref, layout, batch.plans,
-                                          include_prior=False)
-            params_b = be.stack_params(batch, inits[:n])
-            static_bases = {k: v for k, v in batch.bases.items()
-                            if isinstance(v, np.ndarray)}
-            scal_b = {k: v for k, v in batch.bases.items()
-                      if k not in static_bases}
-            jl = jax.jit(
-                lambda pb, ab=batch.arrs, sb=scal_b, st=static_bases:
-                jax.vmap(lambda prm, ar, sc: lin(
-                    prm, ar, {**st, **sc}))(pb, ab, sb))
-            o = jl(params_b)
-            jax.block_until_ready(o)
-            best = 1e9
-            for _ in range(3):
-                t0 = time.perf_counter()
+        batch = be.build_sequence_batch(problems[:n], obs_chunk=4096,
+                                        imu_chunk=256)
+        layout = se.build_layout(batch.p_ref)
+        params_b = be.stack_params(batch, inits[:n])
+        static_bases = {k: v for k, v in batch.bases.items()
+                        if isinstance(v, np.ndarray)}
+        scal_b = {k: v for k, v in batch.bases.items()
+                  if k not in static_bases}
+        lin = jl = best = mode = None
+        err = {}
+        for sequential in (False, True):
+            try:
+                lin = se.make_fast_linearizer(
+                    batch.p_ref, layout, batch.plans, include_prior=False,
+                    sequential=sequential)
+                jl = jax.jit(
+                    lambda pb, ab=batch.arrs, sb=scal_b, st=static_bases,
+                    ln=lin: jax.vmap(lambda prm, ar, sc: ln(
+                        prm, ar, {**st, **sc}))(pb, ab, sb))
                 o = jl(params_b)
                 jax.block_until_ready(o)
-                best = min(best, time.perf_counter() - t0)
-            del o
-        except Exception as e:  # noqa: BLE001 — e.g. HBM OOM at large N
-            log(f"batch_scaling: N={n} failed ({type(e).__name__}); "
-                "stopping sweep")
-            out["linearize_by_n"][f"n{n}"] = {
-                "error": type(e).__name__,
-                "detail": " ".join(str(e).split())[:160]}
+                best = 1e9
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    o = jl(params_b)
+                    jax.block_until_ready(o)
+                    best = min(best, time.perf_counter() - t0)
+                del o
+                mode = "scan-chunks" if sequential else "vmap-chunks"
+                break
+            except Exception as e:  # noqa: BLE001 — e.g. HBM OOM
+                log(f"batch_scaling: N={n} "
+                    f"{'scan' if sequential else 'vmap'} failed "
+                    f"({type(e).__name__})")
+                err[f"{'scan' if sequential else 'vmap'}_error"] = (
+                    type(e).__name__ + ": "
+                    + " ".join(str(e).split())[:160])
+        if mode is None:
+            out["linearize_by_n"][f"n{n}"] = err
             break
-        entry = {"linearize_ms": round(best * 1e3, 2)}
+        entry = {"linearize_ms": round(best * 1e3, 2), "mode": mode, **err}
         try:
             ca = jl.lower(params_b).compile().cost_analysis()
             flops = float((ca or {}).get("flops", 0.0))
