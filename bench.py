@@ -37,7 +37,9 @@ TIME_OFFSET = -0.0813
 
 # Bump when the solver code path changes materially (invalidates the
 # measured-once caches, since both sides of vs_baseline share the code).
-SOLVER_VERSION = "r4.1-static-acc+tail-contract"
+# Per-stage schema changes instead bump that stage's fp_extra tag (ADVICE
+# r4: a stale cache must never be served for a stage whose code changed).
+SOLVER_VERSION = "r5.1-fused-gain-ratio-lm"
 
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "bench_cache")
@@ -158,8 +160,13 @@ def _timed_lm(problem, params0, iters, solver="auto"):
     solve_fn = se.make_solve_fn(problem, layout, solver)
     mask = layout.free_mask(fixed=se.flags_to_fixed(flags))
     cfg = lm.LMConfig(max_iters=iters, ftol=0.0)
+    # "fused": every LM iteration is exactly one damped solve + one
+    # linearize (the trial cost IS the linearize-at-candidate; Ceres-style
+    # iteration counting). Measured 22.3 vs 12.5 iters/s on v5e at DS3
+    # scale with equal final cost (scripts/profile_lm_budget.py, r5).
     run = jax.jit(lambda prm: lm.lm_optimize(lin, cost, layout.retract, prm,
-                                             mask, cfg, solve_fn=solve_fn))
+                                             mask, cfg, solve_fn=solve_fn,
+                                             strategy="fused"))
 
     res = run(params0)
     jax.block_until_ready(res.cost)
@@ -459,7 +466,8 @@ def measure_batch(n_seq=4, iters=6):
         lambda prm, ar, sc, m: lm.lm_optimize(
             lambda q: lin(q, ar, {**static_bases, **sc}),
             lambda q: cost(q, ar, {**static_bases, **sc}),
-            layout.retract, prm, m, cfg)))
+            layout.retract, prm, m, cfg,
+            strategy="fused")))
     res = run(params_b, batch.arrs, scal_b, masks)
     jax.block_until_ready(res.cost)
     log("batch: LM compile + warm-up done")
@@ -475,25 +483,25 @@ def measure_batch(n_seq=4, iters=6):
     return out
 
 
-def measure_batch_scaling(ns=(2, 4, 8), lm_iters=6):
+def measure_batch_scaling(ns=(2, 4, 6, 8), lm_iters=6):
     """Batch-size sweep (VERDICT r3 next #1 'rising with N'): the batched
     linearizer's wall time, achieved TFLOPS and v5e-peak utilization at
-    N = 2/4/8 sequences, plus the full vmapped LM at the largest N that
+    N = 2/4/6/8 sequences, plus the full vmapped LM at the largest N that
     fits — aggregate sequence-iterations/s to compare against the
     single-sequence headline. Fixed per-call overhead (dispatch + the
     client sync floor) amortizes across the batch, so utilization and
     aggregate throughput rise with N; this stage MEASURES that curve
     instead of asserting it.
 
-    Memory regime switch: the vmap-over-chunks linearizer materializes
-    every chunk's AD buffers at once and exceeds the v5e's 16 GB HBM at
-    N>=6 (compiler-reported 15.80 G at N=8, dominated by the per-chunk
-    Jacobian f32[N,56,4096,2,38,3] + 4.5x tiling padding,
-    spline_estimator.py:631). When that happens the stage falls back to
-    the linearizer's scan-over-chunks mode (sequential=True: one chunk's
-    buffers live at a time; each scan step still processes N x 4096
-    observations, so steps are MXU-sized, not the round-3 slivers) and
-    records which mode each N ran in."""
+    Memory regime: the vmap-over-chunks linearizer materializes every
+    chunk's AD buffers at once and exceeded the v5e's 16 GB HBM at N>=6
+    in the r4 sweep (compiler-reported 15.80 G at N=8, dominated by the
+    per-chunk Jacobian f32[N,56,4096,2,38,3] + tiling padding). For each
+    N the stage first ATTEMPTS the vmap mode, then the scan-over-chunks
+    fallback (sequential=True: one chunk's buffers live at a time; each
+    scan step still processes N x 4096 observations), and RECORDS which
+    mode ran plus any per-mode failure — the result is measured, not
+    assumed."""
     import jax
     import jax.numpy as jnp
 
@@ -558,14 +566,30 @@ def measure_batch_scaling(ns=(2, 4, 8), lm_iters=6):
             out["linearize_by_n"][f"n{n}"] = err
             break
         entry = {"linearize_ms": round(best * 1e3, 2), "mode": mode, **err}
-        try:
-            ca = jl.lower(params_b).compile().cost_analysis()
-            flops = float((ca or {}).get("flops", 0.0))
-            if flops > 0:
-                entry["achieved_tflops"] = round(flops / best / 1e12, 3)
-                entry["util_vs_v5e_f32_peak"] = round(flops / best / 49e12, 4)
-        except Exception as e:  # noqa: BLE001
-            log(f"batch_scaling cost_analysis unavailable: {e}")
+        if mode == "vmap-chunks":
+            try:
+                ca = jl.lower(params_b).compile().cost_analysis()
+                flops = float((ca or {}).get("flops", 0.0))
+                if flops > 0:
+                    entry["achieved_tflops"] = round(flops / best / 1e12, 3)
+                    entry["util_vs_v5e_f32_peak"] = round(
+                        flops / best / 49e12, 4)
+                    # Per-sequence FLOP count is mode-independent (same
+                    # math either way); reuse it to rate scan-mode rows.
+                    out.setdefault("_gflop_per_seq", flops / n / 1e9)
+            except Exception as e:  # noqa: BLE001
+                log(f"batch_scaling cost_analysis unavailable: {e}")
+        else:
+            # cost_analysis counts a lax.scan body ONCE (not x trip
+            # count), so compiled FLOPs undercount scan mode (ADVICE r4).
+            # Rate scan rows with the vmap-measured per-sequence FLOPs
+            # when a smaller N succeeded in vmap mode; otherwise omit.
+            gps = out.get("_gflop_per_seq")
+            if gps:
+                entry["achieved_tflops"] = round(gps * n / best / 1e3, 3)
+                entry["util_vs_v5e_f32_peak"] = round(
+                    gps * n / best / 49e3, 4)
+                entry["flops_source"] = "vmap-mode compiled count (per-seq)"
         out["linearize_by_n"][f"n{n}"] = entry
         log(f"batch_scaling: N={n} {entry}")
         last_ok = (n, batch, layout, lin, params_b, static_bases, scal_b)
@@ -581,7 +605,8 @@ def measure_batch_scaling(ns=(2, 4, 8), lm_iters=6):
                 lambda prm, ar, sc, m: lm.lm_optimize(
                     lambda q: lin(q, ar, {**static_bases, **sc}),
                     lambda q: cost(q, ar, {**static_bases, **sc}),
-                    layout.retract, prm, m, cfg)))
+                    layout.retract, prm, m, cfg,
+            strategy="fused")))
             res = run(params_b, batch.arrs, scal_b, masks)
             jax.block_until_ready(res.cost)
             log("batch_scaling: N=%d LM compile + warm-up done" % n)
@@ -598,6 +623,7 @@ def measure_batch_scaling(ns=(2, 4, 8), lm_iters=6):
         except Exception as e:  # noqa: BLE001
             log(f"batch_scaling: LM at N={n} failed ({type(e).__name__})")
             out[f"lm_n{n}"] = {"error": type(e).__name__}
+    out.pop("_gflop_per_seq", None)
     return out
 
 
@@ -872,10 +898,13 @@ def main():
         breakdown = measure_breakdown(problem, params0)
         _cache_store("breakdown", fp, breakdown)
 
-    banded = _inproc_stage("banded_regime", measure_banded, min_budget=240)
-    batch = _inproc_stage("batch_sequences", measure_batch, min_budget=300)
+    banded = _inproc_stage("banded_regime", measure_banded, min_budget=240,
+                           fp_extra="banded-v1")
+    batch = _inproc_stage("batch_sequences", measure_batch, min_budget=300,
+                          fp_extra="batch-v2-fused")
     batch_scal = _inproc_stage("batch_scaling", measure_batch_scaling,
-                               min_budget=420)
+                               min_budget=420,
+                               fp_extra="batch_scaling-v2-ns2468")
 
     # Headline LM last among the TPU stages: its long program leaves the
     # latency floor behind, but a single ~1 s program with one sync only

@@ -199,3 +199,27 @@ def debug_calib_main(argv=None):
     out = args.output_png or args.rotation_init_json + ".png"
     fig.savefig(out, dpi=120)
     print(f"plot -> {out}")
+
+
+def result_stats_main(argv=None):
+    """Replot spline-vs-IMU + bias evolution from a RESULT JSON alone
+    (reference python/print_result_stats.py:24-95 — works on result files
+    written by either this framework or the reference binary, both of
+    which carry the per-sample 'trajectory' block)."""
+    p = argparse.ArgumentParser()
+    p.add_argument("--path_results", required=True,
+                   help="result json from continuous-time-calibration")
+    p.add_argument("--output_png", default="")
+    args = p.parse_args(argv)
+
+    from openimucameracalibrator_tpu.utils import diagnostics
+
+    out = args.output_png or args.path_results + ".png"
+    diagnostics.plot_result_stats(args.path_results, out)
+    with open(args.path_results) as f:
+        obj = json.load(f)
+    for key in ("final_reproj_error", "time_offset_imu_to_cam_s",
+                "calib_line_delay_us", "r3_dt", "so3_dt"):
+        if key in obj:
+            print(f"{key}: {obj[key]}")
+    print(f"plot -> {out}")

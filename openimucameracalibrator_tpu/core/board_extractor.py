@@ -50,6 +50,14 @@ class BoardExtractorOptions:
     backend: str = "native"  # "native" | "opencv"
     dictionary: object = None  # explicit ArucoDictionary override
     verbose: bool = False
+    # Batched video pipeline (detect/video.py): frames processed in
+    # F-frame blocks with one device program per pixel stage, decode
+    # overlapped on a background thread — the video-scale replacement for
+    # the reference's per-frame loop (board_extractor.cc:385-482). Applies
+    # to the native charuco path; other board types / backends fall back
+    # to per-frame detection.
+    batched_video: bool = True
+    batch_frames: int = 16
 
 
 def _native_dictionary(opts: BoardExtractorOptions) -> adict_mod.ArucoDictionary:
@@ -221,19 +229,40 @@ def extract_board(frames: Iterable[tuple], opts: BoardExtractorOptions,
     """Detect board corners on an iterable of (time_s, gray) frames."""
     board = boards_mod.make_board(opts.board_type, opts.squares_x, opts.squares_y,
                                   opts.square_length, opts.marker_length)
-    if opts.backend == "opencv":
-        detect = make_opencv_detector(opts)
-    else:
-        detect = make_native_detector(opts)
-
     times, all_ids, all_pts = [], [], []
     shape = None
-    for t, gray in frames:
-        shape = gray.shape
-        ids, pts = detect(gray)
-        times.append(t)
-        all_ids.append(np.asarray(ids, np.int64))
-        all_pts.append(np.asarray(pts, np.float64).reshape(-1, 2))
+    bt = boards_mod.BoardType(opts.board_type.lower())
+    if (opts.batched_video and opts.backend == "native"
+            and bt == boards_mod.BoardType.CHARUCO):
+        from openimucameracalibrator_tpu.detect import video as video_mod
+
+        spec = charuco_mod.CharucoBoardSpec(
+            opts.squares_x, opts.squares_y, opts.square_length,
+            opts.marker_length, _native_dictionary(opts))
+        vopts = video_mod.VideoDetectorOptions(batch_frames=opts.batch_frames)
+
+        def tap(it):
+            nonlocal shape
+            for t, g in it:
+                shape = g.shape
+                yield t, g
+
+        for t, ids, pts in video_mod.detect_charuco_video(tap(frames), spec,
+                                                          vopts):
+            times.append(t)
+            all_ids.append(np.asarray(ids, np.int64))
+            all_pts.append(np.asarray(pts, np.float64).reshape(-1, 2))
+    else:
+        if opts.backend == "opencv":
+            detect = make_opencv_detector(opts)
+        else:
+            detect = make_native_detector(opts)
+        for t, gray in frames:
+            shape = gray.shape
+            ids, pts = detect(gray)
+            times.append(t)
+            all_ids.append(np.asarray(ids, np.int64))
+            all_pts.append(np.asarray(pts, np.float64).reshape(-1, 2))
 
     P = board.num_points
     V = len(times)

@@ -41,6 +41,8 @@ class ImuCameraCalibrationResult:
     solver_status: str = ""
     cost_history: np.ndarray | None = None
     per_view_rmse: np.ndarray | None = None
+    # RS line delay before refinement (1/fps/rows; continuous_time...cc:186-189)
+    init_line_delay: float | None = None
 
 
 def calibrate_imu_camera(corners: CornerDataset, calib: CameraCalibration,
@@ -128,8 +130,13 @@ def calibrate_imu_camera(corners: CornerDataset, calib: CameraCalibration,
     schedule = [(frozenset(flags), max_iters)]
     if stage2 and line_delay_iters > 0:
         schedule.append((frozenset(flags | stage2), line_delay_iters))
+    # "fused" LM: trial cost comes from the linearize-at-candidate, so an
+    # accepted step's linearization is the next iteration's normal
+    # equations — measured 22.3 vs 12.5 iters/s (classic) on v5e at DS3
+    # scale with equal-or-better final cost (scripts/profile_lm_budget.py).
     results = se.optimize_stages(problem, params0, schedule,
-                                 checkpoint_dir=checkpoint_dir)
+                                 checkpoint_dir=checkpoint_dir,
+                                 strategy="fused")
     res = results[-1]
     params = res.params
     iters = sum(int(r.iterations) for r in results)
@@ -147,4 +154,7 @@ def calibrate_imu_camera(corners: CornerDataset, calib: CameraCalibration,
         mean_reproj_error=err, final_cost=float(res.cost), iterations=iters,
         params=params, problem=problem,
         solver_status=lm.STATUS_NAMES[int(res.status)],
-        cost_history=hist, per_view_rmse=per_view)
+        cost_history=hist, per_view_rmse=per_view,
+        init_line_delay=(1.0 / (sew.cam_fps or 30.0)
+                         / (image_height or corners.image_size[1])
+                         if rolling_shutter else None))

@@ -748,7 +748,8 @@ def plan_fast_assembly(p: SplineProblem, obs_chunk: int = 2048,
 
 def make_fast_linearizer(p: SplineProblem, layout, plans,
                          include_prior: bool = True, jac_mode: str = "rev",
-                         sequential: bool = False):
+                         sequential: bool = False,
+                         gram_dtype=None):
     """Traced chunk-local linearizer: ``lin(params, arrs, bases) -> (H, g, cost)``.
 
     ``arrs`` is the chunked-array dict from :func:`plan_fast_assembly` (or a
@@ -770,6 +771,25 @@ def make_fast_linearizer(p: SplineProblem, layout, plans,
     obs_plan, acc_plan, gyr_plan = plans
     dtype = p.obs_uv.dtype
     nb3 = 3 * p.n_bias
+
+    def _gram(Jd, rf):
+        """(H_local, g_local) from the densified chunk Jacobian.
+
+        ``gram_dtype`` (e.g. jnp.bfloat16) casts the Gram matmul operands
+        while accumulating in the problem dtype — the Gram is the MXU-
+        dominant op AND the source of the layout-copy traffic around the
+        (C*rd, L) buffers (r4 v5e profile: 11.4 ms of 35 ms device time
+        was `copy`, 4.6 ms the f32 Gram). H only preconditions the LM
+        step; the gradient g and the cost stay in full precision, so
+        reduced H precision costs at most extra damping retries — the
+        fused gain-ratio loop measures the actual decrease exactly.
+        """
+        if gram_dtype is None:
+            return Jd.T @ Jd, Jd.T @ rf
+        Jc = Jd.astype(gram_dtype)
+        H = jnp.dot(Jc.T, Jc, preferred_element_type=dtype)
+        g = jnp.einsum("ml,m->l", Jd, rf)
+        return H, g
     np3 = 3 * p.n_points  # points are chunk-global: every chunk sees all P
 
     # Local tangent layout sizes.
@@ -803,7 +823,8 @@ def make_fast_linearizer(p: SplineProblem, layout, plans,
             segments.append(("run", 44, 1, 3, pc.obs_pt_id.astype(jnp.int32),
                              p.n_points))
         Jd, rf = _densify_segments(r, J, segments, L_obs)
-        return Jd.T @ Jd, Jd.T @ rf, c
+        Hl, gl = _gram(Jd, rf)
+        return Hl, gl, c
 
     def _accel_chunk(params, ch, s_base, r_base, s_org=0, r_org=0, pov=None):
         pc = p._replace(**ch, **(pov or {}))
@@ -817,7 +838,8 @@ def make_fast_linearizer(p: SplineProblem, layout, plans,
             ("fixed", 45, 9),
         ]
         Jd, rf = _densify_segments(r, J, segments, L_acc)
-        return Jd.T @ Jd, Jd.T @ rf, 0.5 * jnp.sum(r * r)
+        Hl, gl = _gram(Jd, rf)
+        return Hl, gl, 0.5 * jnp.sum(r * r)
 
     def _gyro_chunk(params, ch, s_base, s_org=0, pov=None):
         pc = p._replace(**ch, **(pov or {}))
@@ -829,7 +851,8 @@ def make_fast_linearizer(p: SplineProblem, layout, plans,
             ("fixed", 27, 9),
         ]
         Jd, rf = _densify_segments(r, J, segments, L_gyr)
-        return Jd.T @ Jd, Jd.T @ rf, 0.5 * jnp.sum(r * r)
+        Hl, gl = _gram(Jd, rf)
+        return Hl, gl, 0.5 * jnp.sum(r * r)
 
     def _region_idx(starts_list):
         """(K, L) global tangent index per chunk-local coordinate.
@@ -990,7 +1013,8 @@ def plan_bases(plans) -> dict:
 
 
 def make_solver_functions_fast(p: SplineProblem, layout,
-                               obs_chunk: int = 4096, imu_chunk: int = 256):
+                               obs_chunk: int = 4096, imu_chunk: int = 256,
+                               gram_dtype=None):
     """(linearize_fn, cost_fn) using chunk-local dense assembly (see above).
 
     Produces the same (H, g, cost) as :func:`make_solver_functions` (tested
@@ -1003,7 +1027,7 @@ def make_solver_functions_fast(p: SplineProblem, layout,
     chunks lose to the O(L^2) window growth of the per-chunk Gram).
     """
     plans, arrs = plan_fast_assembly(p, obs_chunk, imu_chunk)
-    lin = make_fast_linearizer(p, layout, plans)
+    lin = make_fast_linearizer(p, layout, plans, gram_dtype=gram_dtype)
     bases = plan_bases(plans)
 
     def linearize_fn(params):
@@ -1253,7 +1277,7 @@ def make_solve_fn(p: SplineProblem, layout, solver: str = "auto"):
 def optimize(p: SplineProblem, params0: dict, flags: frozenset = DEFAULT_FLAGS,
              max_iters: int = 50, config: lm.LMConfig | None = None,
              reproj_chunk: int | None = None, method: str = "fast",
-             solver: str = "auto") -> lm.LMResult:
+             solver: str = "auto", strategy: str = "classic") -> lm.LMResult:
     """Run LM on the full problem with the given free-parameter flags
     (SplineTrajectoryEstimator::Optimize, impl.h:254-276).
 
@@ -1263,14 +1287,14 @@ def optimize(p: SplineProblem, params0: dict, flags: frozenset = DEFAULT_FLAGS,
     cfg = config or lm.LMConfig(max_iters=max_iters, ftol=1e-4)  # ftol impl.h:267
     return optimize_stages(p, params0, [(flags, cfg.max_iters)], config=cfg,
                            method=method, reproj_chunk=reproj_chunk,
-                           solver=solver)[-1]
+                           solver=solver, strategy=strategy)[-1]
 
 
 def optimize_stages(p: SplineProblem, params0: dict, stages,
                     config: lm.LMConfig | None = None, method: str = "fast",
                     reproj_chunk: int | None = None,
                     checkpoint_dir: str | None = None,
-                    solver: str = "auto") -> list:
+                    solver: str = "auto", strategy: str = "classic") -> list:
     """Run a SCHEDULE of LM stages with ONE compiled solver.
 
     ``stages``: list of (flags, max_iters). The free-parameter mask and the
@@ -1309,7 +1333,7 @@ def optimize_stages(p: SplineProblem, params0: dict, stages,
             [(sorted(f), int(n)) for f, n in stages],
             ckpt.tree_signature(jax.device_get(params0)),
             str(np.asarray(next(iter(params0.values())).dtype)),
-            sorted(base_cfg._asdict().items()), str(solver))
+            sorted(base_cfg._asdict().items()), str(solver), str(strategy))
     else:
         prob_fp = None
 
@@ -1317,7 +1341,7 @@ def optimize_stages(p: SplineProblem, params0: dict, stages,
     def run(prm, mask, iters):
         cfg = base_cfg._replace(max_iters=iters)
         return lm.lm_optimize(lin, cost, layout.retract, prm, mask, cfg,
-                              solve_fn=solve_fn)
+                              solve_fn=solve_fn, strategy=strategy)
 
     results = []
     params = params0
@@ -1362,8 +1386,13 @@ def evaluate_pose(p: SplineProblem, params, t):
     return qs, ts
 
 
-def evaluate_imu(p: SplineProblem, params, t):
-    """Predicted (accel_reading, gyro_reading) at times t."""
+def evaluate_imu_components(p: SplineProblem, params, t):
+    """(accel_spline, gyro_spline, accel_bias, gyro_bias) at times t.
+
+    The spline terms exclude the bias — the split the reference's result
+    dump uses (GetAcceleration/GetAngularVelocity impl.h:898-991 next to
+    GetAcclBias/GetGyroBias impl.h:1180-1234, written to the result json
+    at continuous_time_imu_to_camera_calibration.cc:273-332)."""
     qs, omega = spline.so3_vel_batch(params["q_so3"], t, p.t0, p.dt_so3, ORDER)
     a_w = spline.r3_eval_batch(params["t_r3"], t, p.t0, p.dt_r3, 2, ORDER)
     i_b, u_b = spline.spline_coords(t, p.t0, p.dt_bias, p.n_bias, BIAS_ORDER)
@@ -1371,9 +1400,14 @@ def evaluate_imu(p: SplineProblem, params, t):
         spline.gather_window(params["bias_a"], i_b, BIAS_ORDER), u_b)
     bg = jax.vmap(lambda w, u: spline.r3_eval(w, u, p.dt_bias, 0, BIAS_ORDER))(
         spline.gather_window(params["bias_g"], i_b, BIAS_ORDER), u_b)
-    acc_pred = lie.quat_rotate(lie.quat_conjugate(qs), a_w + params["gravity"]) + ba
-    gyro_pred = omega + bg
-    return acc_pred, gyro_pred
+    acc_spline = lie.quat_rotate(lie.quat_conjugate(qs), a_w + params["gravity"])
+    return acc_spline, omega, ba, bg
+
+
+def evaluate_imu(p: SplineProblem, params, t):
+    """Predicted (accel_reading, gyro_reading) at times t."""
+    acc_spline, omega, ba, bg = evaluate_imu_components(p, params, t)
+    return acc_spline + ba, omega + bg
 
 
 def mean_reprojection_error(p: SplineProblem, params) -> float:

@@ -54,6 +54,57 @@ def plot_spline_vs_imu(problem, params, path: str, stride: int = 5):
     return path
 
 
+def plot_result_stats(result_json_path: str, out_path: str):
+    """Spline-vs-IMU + bias-evolution plots from the RESULT ARTIFACT ALONE.
+
+    Offline equivalent of the reference's python/print_result_stats.py:24-95:
+    it reads only the result json's per-sample ``trajectory`` block (written
+    by io.save_imu_camera_result, reference schema
+    continuous_time_imu_to_camera_calibration.cc:273-332) — no problem or
+    parameter state is needed, so reference-produced result files replot
+    identically. Returns the PNG path."""
+    import json
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    with open(result_json_path) as f:
+        obj = json.load(f)
+    traj = obj.get("trajectory")
+    if not traj:
+        raise ValueError(f"{result_json_path} has no 'trajectory' block")
+
+    def series(kind):
+        rows = sorted((int(t_ns), e[kind]) for t_ns, e in traj.items()
+                      if kind in e)
+        t = np.asarray([r[0] for r in rows], np.float64) * 1e-9
+        v = np.asarray([[r[1][a] for a in "xyz"] for r in rows])
+        return t, v
+
+    fig, axes = plt.subplots(4, 1, figsize=(12, 14), sharex=True)
+    for row, sensor, unit in ((0, "accl", "accel m/s²"),
+                              (1, "gyro", "gyro rad/s")):
+        tm, vm = series(f"{sensor}_imu")
+        ts, vs = series(f"{sensor}_spline")
+        _, vb = series(f"{sensor}_bias")
+        for k, lbl in enumerate("xyz"):
+            axes[row].plot(tm, vm[:, k], ".", ms=1, alpha=0.4)
+            axes[row].plot(ts, vs[:, k] + vb[:, k], label=f"spline {lbl}")
+        axes[row].set_ylabel(unit)
+        axes[row].legend()
+        axes[row + 2].plot(ts, vb)
+        axes[row + 2].set_ylabel(f"{sensor} bias")
+    axes[3].set_xlabel("time (s)")
+    err = obj.get("final_reproj_error")
+    if err is not None:
+        axes[0].set_title(f"final mean reprojection error: {err:.3f} px")
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=110)
+    plt.close(fig)
+    return out_path
+
+
 def export_ply(points: np.ndarray, path: str, colors: np.ndarray | None = None):
     """ASCII PLY point cloud (Theia WritePlyFile equivalent)."""
     points = np.asarray(points, np.float64)

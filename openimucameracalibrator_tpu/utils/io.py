@@ -185,18 +185,75 @@ def load_camera_calibration(path: str) -> CameraCalibration:
 
 # --- imu-camera result -----------------------------------------------------
 
-def save_imu_camera_result(result, path: str):
-    """Result json (continuous_time...cc:247-332 schema subset + extras)."""
+def _trajectory_dump(problem, params) -> dict:
+    """Reference-schema per-sample trajectory block: for every IMU sample
+    inside the spline support, the measured value, the spline prediction
+    (bias excluded), and the bias-spline value, keyed by the nanosecond
+    timestamp (continuous_time_imu_to_camera_calibration.cc:273-332).
+    This is what python/print_result_stats.py:24-95 consumes offline —
+    the artifact alone regenerates the spline-vs-IMU plots."""
+    import jax.numpy as jnp
+
+    from openimucameracalibrator_tpu.core import spline_estimator as se
+
+    traj: dict = {}
+
+    def vec(v):
+        return {k: round(float(x), 8) for k, x in zip("xyz", v)}
+
+    def add(times, meas, names):
+        # float64 keys: f32 scalar math would round the ns timestamps
+        t = np.asarray(times, np.float64)
+        ok = np.asarray(se._in_range(problem,
+                                     jnp.asarray(t, problem.accel_t.dtype)))
+        t, m = t[ok], np.asarray(meas)[ok]
+        acc_s, gyr_s, ba, bg = (np.asarray(a) for a in
+                                se.evaluate_imu_components(
+                                    problem, params,
+                                    jnp.asarray(t, problem.accel_t.dtype)))
+        spline_v = {"accl": acc_s, "gyro": gyr_s}[names]
+        bias_v = {"accl": ba, "gyro": bg}[names]
+        for i, ti in enumerate(t):
+            key = str(int(round(ti * 1e9)))
+            entry = traj.setdefault(key, {})
+            entry[f"{names}_imu"] = vec(m[i])
+            entry[f"{names}_spline"] = vec(spline_v[i])
+            entry[f"{names}_bias"] = vec(bias_v[i])
+
+    add(problem.gyro_t, problem.gyro_meas, "gyro")
+    add(problem.accel_t, problem.accel_meas, "accl")
+    return traj
+
+
+def save_imu_camera_result(result, path: str, trajectory: bool = True):
+    """Result json matching the reference schema
+    (continuous_time...cc:247-332: q_i_c/t_i_c, final_reproj_error,
+    r3_dt/so3_dt, line delays in us, time offset, and the full per-sample
+    spline-vs-IMU trajectory + bias evolution) plus framework extras
+    (gravity, solver status, cost history, per-view RMSE).
+
+    ``trajectory=False`` skips the per-sample dump (it dominates file
+    size: ~4 entries per IMU sample)."""
     obj = {
         "q_i_c": {k: float(v) for k, v in zip("wxyz", result.q_i_c)},
         "t_i_c": {k: float(v) for k, v in zip("xyz", result.t_i_c)},
+        "time_offset_imu_to_cam_s": result.time_offset,
+        # legacy alias kept for earlier-round artifacts
         "time_offset_imu_to_cam": result.time_offset,
         "final_reproj_error": result.mean_reproj_error,
+        "calib_line_delay_us": result.line_delay * 1e6,
         "cam_line_delay": result.line_delay,
         "gravity": {k: float(v) for k, v in zip("xyz", result.gravity)},
         "iterations": result.iterations,
         "final_cost": result.final_cost,
     }
+    problem = getattr(result, "problem", None)
+    params = getattr(result, "params", None)
+    if problem is not None:
+        obj["r3_dt"] = float(problem.dt_r3)
+        obj["so3_dt"] = float(problem.dt_so3)
+    if getattr(result, "init_line_delay", None) is not None:
+        obj["init_line_delay_us"] = float(result.init_line_delay) * 1e6
     if getattr(result, "solver_status", ""):
         obj["solver_status"] = result.solver_status
     if getattr(result, "cost_history", None) is not None:
@@ -204,8 +261,17 @@ def save_imu_camera_result(result, path: str):
     if getattr(result, "per_view_rmse", None) is not None:
         obj["per_view_rmse"] = [None if np.isnan(v) else round(float(v), 5)
                                 for v in result.per_view_rmse]
+    if trajectory and problem is not None and params is not None:
+        obj["trajectory"] = _trajectory_dump(problem, params)
     with open(path, "w") as f:
         json.dump(obj, f, indent=1)
+
+
+def load_imu_camera_result(path: str) -> dict:
+    """Load a result json (ours or one written by the reference binary —
+    both carry the continuous_time...cc:247-332 keys)."""
+    with open(path) as f:
+        return json.load(f)
 
 
 # --- IMU intrinsics (static multi-pose output -> batch stage) ---------------

@@ -136,3 +136,48 @@ def test_gopro_gpmf_import(tmp_path):
     np.testing.assert_allclose(tel.imu.gyro[0], [0.2, 0.3, 0.1])
     np.testing.assert_allclose(tel.imu.times, [0.0, 0.005])
     assert tel.cam_quats.shape == (1, 4)
+
+
+def test_result_json_trajectory_roundtrip(tmp_path):
+    """The result json carries the reference's per-sample trajectory dump
+    (continuous_time...cc:273-332) and the spline-vs-IMU plot regenerates
+    from the ARTIFACT ALONE (print_result_stats.py:24-95 parity)."""
+    import types
+
+    import __graft_entry__ as ge
+    from openimucameracalibrator_tpu.utils import diagnostics
+
+    p, params = ge._tiny_problem()
+    result = types.SimpleNamespace(
+        q_i_c=np.asarray([1.0, 0, 0, 0]), t_i_c=np.zeros(3),
+        time_offset=-0.08, gravity=np.asarray([0, 0, 9.81]),
+        line_delay=30e-6, mean_reproj_error=0.25, final_cost=1.0,
+        iterations=7, params=params, problem=p, solver_status="CONVERGENCE",
+        cost_history=np.asarray([2.0, 1.0]), per_view_rmse=None,
+        init_line_delay=1.0 / 60.0 / 540)
+    path = str(tmp_path / "result.json")
+    io.save_imu_camera_result(result, path)
+
+    obj = io.load_imu_camera_result(path)
+    # Reference schema keys (cross-tool interop).
+    for key in ("q_i_c", "t_i_c", "final_reproj_error", "r3_dt", "so3_dt",
+                "init_line_delay_us", "calib_line_delay_us",
+                "time_offset_imu_to_cam_s", "trajectory"):
+        assert key in obj, key
+    traj = obj["trajectory"]
+    # Every in-range IMU sample appears, keyed by ns, with measured +
+    # spline + bias triplets for both sensors.
+    assert len(traj) >= 90
+    entry = traj[sorted(traj)[5]]
+    for k in ("gyro_imu", "gyro_spline", "gyro_bias",
+              "accl_imu", "accl_spline", "accl_bias"):
+        assert set(entry[k]) == {"x", "y", "z"}, k
+    # Measured values round-trip exactly (sample 0 of gyro_t).
+    t0_ns = str(int(round(float(p.gyro_t[0]) * 1e9)))
+    np.testing.assert_allclose(
+        [traj[t0_ns]["gyro_imu"][a] for a in "xyz"],
+        np.asarray(p.gyro_meas[0], np.float64), atol=1e-7)
+
+    png = diagnostics.plot_result_stats(path, str(tmp_path / "stats.png"))
+    import os
+    assert os.path.getsize(png) > 10000
