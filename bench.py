@@ -627,6 +627,157 @@ def measure_batch_scaling(ns=(2, 4, 6, 8), lm_iters=6):
     return out
 
 
+# --- End-to-end pipeline at DS3 scale (BASELINE.json north star) -----------
+
+E2E_DURATION = 60.0
+E2E_FPS = 60.0
+E2E_SIZE = (960, 540)
+E2E_TAG = "ds3e2e-v1"
+
+
+def _e2e_dataset(allow_render=True):
+    """Render-once DS3-scale recorded dataset (MP4 + GPMF telemetry),
+    cached on local disk keyed by configuration.
+
+    The render itself runs on the available accelerator (~14 min for the
+    3.6k rolling-shutter frames on a v5e; the reference datasets are real
+    GoPro recordings of the same shape, Readme.md:31-51). Returns the
+    dataset dir or None when absent and ``allow_render`` is False (the
+    CPU subprocess must never re-render — it reuses the TPU-rendered
+    files)."""
+    import hashlib
+    key = (f"{E2E_TAG}|{E2E_DURATION}|{E2E_FPS}|{E2E_SIZE}|{LINE_DELAY}"
+           f"|{TIME_OFFSET}|{IMU_RATE}")
+    d = os.path.join("/tmp", "oicc_e2e_"
+                     + hashlib.md5(key.encode()).hexdigest()[:10])
+    marker = os.path.join(d, "DONE")
+    if os.path.exists(marker):
+        return d
+    if not allow_render:
+        return None
+    from openimucameracalibrator_tpu.utils import recorded
+    log(f"e2e: rendering {E2E_DURATION:.0f}s @ {E2E_FPS:.0f}fps "
+        f"{E2E_SIZE[0]}x{E2E_SIZE[1]} recording -> {d}")
+    rec = recorded.make_recording(
+        d, model_name="division_undistortion", image_size=E2E_SIZE,
+        duration=E2E_DURATION, cam_fps=E2E_FPS, intrinsics_frames=30,
+        imu_rate=IMU_RATE, time_offset=TIME_OFFSET, line_delay=LINE_DELAY,
+        squares_x=10, squares_y=8, square_length=0.04, marker_length=0.03,
+        seed=5)
+    with open(os.path.join(d, "gt.json"), "w") as f:
+        json.dump({"cam_params": np.asarray(rec.cam_params).tolist(),
+                   "q_i_c": np.asarray(rec.q_i_c).tolist(),
+                   "t_i_c": np.asarray(rec.t_i_c).tolist(),
+                   "time_offset": rec.time_offset,
+                   "line_delay": rec.line_delay}, f)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return d
+
+
+def measure_e2e_pipeline():
+    """FULL pipeline wall clock on the current backend: MP4 decode ->
+    batched native detection over all frames -> intrinsics -> poses ->
+    SEW -> rotation init -> continuous-time batch solve -> result json
+    (reference analog python/run_gopro_calibration.py:137-333). No
+    workspace caching — every stage executes."""
+    import jax
+
+    from openimucameracalibrator_tpu.apps import run_calibration
+
+    d = _e2e_dataset(allow_render=remaining() > 1500)
+    if d is None:
+        return {"skipped": "dataset not rendered and no budget to render"}
+    with open(os.path.join(d, "gt.json")) as f:
+        gt = json.load(f)
+    args = run_calibration.build_parser().parse_args([
+        "--path_calib_dataset", d,
+        "--telemetry_json", os.path.join(d, "imu_cam.MP4"),
+        "--telemetry_format", "gopro",
+        "--num_squares_x", "10", "--num_squares_y", "8",
+        "--checker_size_m", "0.04", "--marker_size_m", "0.03",
+    ])
+    t0 = time.perf_counter()
+    summary = run_calibration.run(args)
+    wall = time.perf_counter() - t0
+    toff_err_ms = abs(summary["time_offset_s"] - gt["time_offset"]) * 1e3
+    ld_err_us = abs(summary["line_delay_us"] - gt["line_delay"] * 1e6)
+    return {
+        "wall_s": round(wall, 1),
+        "backend": jax.default_backend(),
+        "n_video_frames": int(E2E_DURATION * E2E_FPS) + 30,
+        "intrinsics_reproj_px": round(
+            float(summary["intrinsics_reproj_error_px"]), 4),
+        "final_reproj_px": round(float(summary["final_reproj_error_px"]), 4),
+        "time_offset_err_ms": round(toff_err_ms, 3),
+        "line_delay_err_us": round(ld_err_us, 3),
+        "stage_timings_s": summary["stage_timings_s"],
+    }
+
+
+def stage_e2e_cpu():
+    """CPU-only full pipeline (subprocess; reuses the rendered dataset)."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    out = measure_e2e_pipeline()
+    print(json.dumps(out))
+
+
+def measure_detection_video():
+    """Steady-state detection throughput over the e2e MP4 (the reference's
+    hot loop at video scale, board_extractor.cc:385-482): decode-only
+    fps, batched native charuco fps (full pipeline incl. decode), and the
+    OpenCV backend on the same frames."""
+    import itertools
+
+    from openimucameracalibrator_tpu.core import board_extractor
+
+    d = _e2e_dataset(allow_render=remaining() > 1500)
+    if d is None:
+        return {"skipped": "dataset not rendered and no budget to render"}
+    video = os.path.join(d, "imu_cam.MP4")
+    opts = board_extractor.BoardExtractorOptions(
+        squares_x=10, squares_y=8, square_length=0.04, marker_length=0.03)
+    out = {"video": f"{E2E_SIZE[0]}x{E2E_SIZE[1]} rendered charuco, "
+                    f"{int(E2E_DURATION * E2E_FPS)} frames"}
+
+    t0 = time.perf_counter()
+    n_dec = sum(1 for _ in board_extractor.iter_video_frames(video))
+    out["decode_only_fps"] = round(n_dec / (time.perf_counter() - t0), 1)
+
+    # Warm-up (compiles) on a short prefix, then the timed full pass.
+    warm = list(itertools.islice(board_extractor.iter_video_frames(video), 40))
+    board_extractor.extract_board(iter(warm), opts)
+    t0 = time.perf_counter()
+    ds = board_extractor.extract_board_from_video(video, opts)
+    wall = time.perf_counter() - t0
+    out["native_batched_fps"] = round(len(ds.times) / wall, 1)
+    out["native_wall_s"] = round(wall, 1)
+    out["native_mean_corners_per_frame"] = round(
+        float(np.asarray(ds.valid).sum(1).mean()), 1)
+    out["n_frames"] = int(len(ds.times))
+
+    try:
+        opts_cv = board_extractor.BoardExtractorOptions(
+            squares_x=10, squares_y=8, square_length=0.04,
+            marker_length=0.03, backend="opencv")
+        n_cv = 600  # enough frames for a stable per-frame rate
+        frames = itertools.islice(board_extractor.iter_video_frames(video),
+                                  n_cv)
+        t0 = time.perf_counter()
+        ds_cv = board_extractor.extract_board(frames, opts_cv)
+        wall_cv = time.perf_counter() - t0
+        out["opencv_fps"] = round(len(ds_cv.times) / wall_cv, 1)
+        out["opencv_frames_measured"] = int(len(ds_cv.times))
+        out["opencv_mean_corners_per_frame"] = round(
+            float(np.asarray(ds_cv.valid).sum(1).mean()), 1)
+        out["native_vs_opencv"] = round(
+            out["native_batched_fps"] / out["opencv_fps"], 2)
+    except Exception as e:  # noqa: BLE001 — cv2 aruco may be absent
+        out["opencv_error"] = type(e).__name__
+    return out
+
+
 def measure_detection():
     """Detection hot-loop throughput at 960x540 on the current device:
     fused Pallas corner-response+NMS+top-k vs the unfused XLA path
@@ -865,6 +1016,8 @@ def main():
             return stage_cpu_baseline()
         if stage == "cpu_sparse":
             return stage_cpu_sparse()
+        if stage == "e2e_cpu":
+            return stage_e2e_cpu()
         if stage == "scaling":
             return stage_scaling()
         if stage == "intrinsics":
@@ -898,6 +1051,12 @@ def main():
         breakdown = measure_breakdown(problem, params0)
         _cache_store("breakdown", fp, breakdown)
 
+    # Video-scale detection: long-running full passes, but per-batch syncs
+    # (~3 per 16-frame block) must still happen before the first big LM
+    # program raises the per-sync floor.
+    det_video = _inproc_stage("detection_video", measure_detection_video,
+                              min_budget=240, fp_extra=E2E_TAG)
+
     banded = _inproc_stage("banded_regime", measure_banded, min_budget=240,
                            fp_extra="banded-v1")
     batch = _inproc_stage("batch_sequences", measure_batch, min_budget=300,
@@ -912,6 +1071,13 @@ def main():
     res, _, _ = stage_main(problem, params0, corners, imu)
     del problem, params0
 
+    # Full-pipeline e2e (BASELINE.json north star). Measured once into the
+    # cache from a fresh process (the per-batch detection syncs pay the
+    # ~28 ms post-LM floor when measured after the stages above — the
+    # cached number is the honest fresh-process wall).
+    e2e_tpu = _inproc_stage("e2e_tpu", measure_e2e_pipeline, min_budget=400,
+                            fp_extra=E2E_TAG)
+
     cpu_env = {"JAX_PLATFORMS": "cpu", "JAX_ENABLE_X64": "1"}
     base, _ = _aux_stage("cpu_baseline", "cpu_baseline", cpu_env,
                          min_budget=180)
@@ -922,6 +1088,16 @@ def main():
                    + " --xla_force_host_platform_device_count=8"}
     scal, _ = _aux_stage("scaling", "scaling", scaling_env, min_budget=180)
     intr, _ = _aux_stage("intrinsics", "intrinsics", {}, min_budget=120)
+    e2e_cpu, _ = _aux_stage("e2e_cpu", "e2e_cpu", cpu_env, min_budget=600,
+                            fp_extra=E2E_TAG)
+
+    e2e = None
+    if e2e_tpu and "wall_s" in e2e_tpu:
+        e2e = {"tpu": e2e_tpu}
+        if e2e_cpu and "wall_s" in e2e_cpu:
+            e2e["cpu"] = e2e_cpu
+            e2e["speedup_vs_cpu"] = round(
+                e2e_cpu["wall_s"] / e2e_tpu["wall_s"], 2)
 
     cpu_ips = (base or {}).get("cpu_iters_per_sec")
     sparse_ips = (sparse or {}).get("cpu_sparse_iters_per_sec")
@@ -951,6 +1127,8 @@ def main():
         "n_params": res["n_params"],
         "n_observations": res["n_observations"],
         "n_imu_samples": res["n_imu"],
+        "pipeline_e2e": e2e,
+        "detection_video": det_video,
         "breakdown_ms": breakdown,
         "multi_sequence_batch": batch,
         "batch_scaling": batch_scal,

@@ -29,6 +29,10 @@ def build_parser(p: argparse.ArgumentParser | None = None):
                    choices=["auto", "xla", "pallas"],
                    help="corner-response implementation for the native "
                         "detector (auto = measured winner: XLA)")
+    p.add_argument("--aruco_detector_params", default="",
+                   help="detector-parameter file, OpenCV-YAML or json "
+                        "(reference charuco_detector_params.yml schema, "
+                        "utils.cc:43-75; see detect/params.py)")
     return p
 
 
@@ -47,7 +51,8 @@ def run(args) -> str:
         board_type=args.board_type, squares_x=args.squares_x,
         squares_y=args.squares_y, square_length=args.square_length,
         marker_length=args.marker_length, aruco_dict=args.aruco_dict,
-        downsample_factor=args.downsample_factor)
+        downsample_factor=args.downsample_factor,
+        detector_params_path=getattr(args, "aruco_detector_params", ""))
     if os.path.isdir(args.input_path):
         ds = board_extractor.extract_board_from_image_folder(
             args.input_path, args.image_folder_fps, opts)

@@ -69,6 +69,10 @@ def build_parser():
                         "detector (auto = measured winner: XLA)")
     p.add_argument("--detector_backend", default="native",
                    choices=["native", "opencv"])
+    p.add_argument("--aruco_detector_params", default="",
+                   help="detector-parameter file, OpenCV-YAML or json "
+                        "(reference charuco_detector_params.yml, "
+                        "utils.cc:43-75)")
     p.add_argument("--optimize_board_points", action="store_true",
                    help="refine board points w/ empirical covariance "
                         "(reference OptimizeBoardPoints, pose_estimator.cc:193-224)")
@@ -153,7 +157,8 @@ def run(args) -> dict:
         board_type=args.board_type, squares_x=args.num_squares_x,
         squares_y=args.num_squares_y, square_length=args.checker_size_m,
         marker_length=args.marker_size_m or 0.75 * args.checker_size_m,
-        backend=args.detector_backend)
+        backend=args.detector_backend,
+        detector_params_path=getattr(args, "aruco_detector_params", ""))
 
     stage("2/3. telemetry import")
     tel = _read_telemetry(args.telemetry_json, args.telemetry_format)

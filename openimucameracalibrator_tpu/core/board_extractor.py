@@ -58,6 +58,10 @@ class BoardExtractorOptions:
     # to per-frame detection.
     batched_video: bool = True
     batch_frames: int = 16
+    # Detector-parameter config file (OpenCV-YAML or json) — the
+    # reference's --aruco_detector_params / charuco_detector_params.yml
+    # (src/utils/utils.cc:43-75); parsed by detect/params.py.
+    detector_params_path: str = ""
 
 
 def _native_dictionary(opts: BoardExtractorOptions) -> adict_mod.ArucoDictionary:
@@ -70,14 +74,27 @@ def _native_dictionary(opts: BoardExtractorOptions) -> adict_mod.ArucoDictionary
     raise ValueError(f"unknown dictionary {opts.aruco_dict!r} for native backend")
 
 
+def _detector_params(opts: BoardExtractorOptions, image_size=None):
+    """Parsed detector-parameter file, or None when not configured."""
+    if not opts.detector_params_path:
+        return None
+    from openimucameracalibrator_tpu.detect import params as params_mod
+
+    return params_mod.load_detector_params(opts.detector_params_path,
+                                           image_size=image_size)
+
+
 def make_native_detector(opts: BoardExtractorOptions):
     """detect(gray) -> (ids, corners_px) using the in-house stack."""
     bt = boards_mod.BoardType(opts.board_type.lower())
+    dp = _detector_params(opts)
     if bt == boards_mod.BoardType.CHARUCO:
         spec = charuco_mod.CharucoBoardSpec(
             opts.squares_x, opts.squares_y, opts.square_length,
             opts.marker_length, _native_dictionary(opts))
-        return lambda g: charuco_mod.detect_charuco(np.asarray(g, np.float32), spec)
+        copts = dp.charuco if dp else None
+        return lambda g: charuco_mod.detect_charuco(np.asarray(g, np.float32),
+                                                    spec, copts)
     if bt == boards_mod.BoardType.RADON:
         return lambda g: checker_mod.detect_checkerboard(
             np.asarray(g, np.float32), opts.squares_x, opts.squares_y)
@@ -89,7 +106,8 @@ def make_native_detector(opts: BoardExtractorOptions):
 
     def detect_april(gray):
         mids, mcorners = quads_mod.detect_markers(np.asarray(gray, np.float32),
-                                                  dictionary)
+                                                  dictionary,
+                                                  dp.marker if dp else None)
         # Marker-image corner j (TL,TR,BR,BL) maps to aprilgrid board corner
         # 4*t + [3,2,1,0][j] (board +y up; see models/boards.py::apriltag_board
         # and detect/render.py::render_aprilgrid).
@@ -239,7 +257,14 @@ def extract_board(frames: Iterable[tuple], opts: BoardExtractorOptions,
         spec = charuco_mod.CharucoBoardSpec(
             opts.squares_x, opts.squares_y, opts.square_length,
             opts.marker_length, _native_dictionary(opts))
+        dp = _detector_params(opts)
         vopts = video_mod.VideoDetectorOptions(batch_frames=opts.batch_frames)
+        if dp is not None:
+            vopts.marker = dp.marker
+            vopts.subpix_win = dp.charuco.subpix_win
+            vopts.max_residual_px = dp.charuco.max_residual_px
+            vopts.min_markers = dp.charuco.min_markers
+            vopts.local_markers = dp.charuco.local_markers
 
         def tap(it):
             nonlocal shape

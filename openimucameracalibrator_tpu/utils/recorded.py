@@ -106,12 +106,27 @@ def _render_frame_jit(cam_params, q_wc_rows, t_wc_rows, texture, tex_scale,
 def render_frames(pose_fn, frame_stamp_times, model_name: str, cam_params,
                   q_i_c, t_i_c, tex: BoardTexture, image_size,
                   time_offset: float = 0.0, line_delay: float = 0.0,
-                  supersample: int = 2, noise_std: float = 1.5, seed: int = 0):
+                  supersample: int = 2, noise_std: float = 1.5, seed: int = 0,
+                  motion_blur_s: float = 0.0, blur_taps: int = 3,
+                  exposure_flicker: float = 0.0,
+                  flicker_hz: float = 8.0):
     """uint8 frames for container-stamped times ``frame_stamp_times``.
 
     Frame stamped t is exposed at IMU time t + time_offset; pixel row r of a
     rolling-shutter frame at t + time_offset + line_delay * r (the convention
     recovered by the batch solver, spline_trajectory_estimator.impl.h:344-346).
+
+    Degradations toward real GoPro footage (the reference's published bars
+    are on real video, Readme.md:31-51; VERDICT r4 next #8):
+
+    * ``motion_blur_s`` — TRUE motion blur: the frame is the average of
+      ``blur_taps`` renders across an exposure window of that many
+      seconds (each tap re-evaluates the full per-row RS pose chain).
+    * ``exposure_flicker`` — relative sinusoidal gain modulation at
+      ``flicker_hz`` (mains flicker / auto-exposure hunting analog).
+    * ``noise_std`` — additive sensor noise in DN (already default-on).
+    Compression artifacts come from the MJPEG mux quality
+    (make_recording ``jpeg_quality``).
     """
     W, H = image_size
     cam_params = jnp.asarray(cam_params, precision.default_dtype())
@@ -128,14 +143,23 @@ def render_frames(pose_fn, frame_stamp_times, model_name: str, cam_params,
 
     rows = jnp.arange(H, dtype=precision.default_dtype())
     pose_rows = jax.jit(jax.vmap(cam_pose_at))
+    taps = ([0.0] if motion_blur_s <= 0 else
+            [k * motion_blur_s / max(blur_taps - 1, 1)
+             for k in range(blur_taps)])
     frames = []
     for t_stamp in np.asarray(frame_stamp_times, np.float64):
-        t_rows = t_stamp + time_offset + line_delay * rows
-        q_rows, p_rows = pose_rows(t_rows)
-        img = _render_frame_jit(cam_params, q_rows, p_rows, tex_img,
-                                tex_scale, tex_offset, model_name,
-                                tuple(image_size), supersample)
-        img = np.asarray(img)
+        acc = None
+        for dt_tap in taps:
+            t_rows = t_stamp + time_offset + dt_tap + line_delay * rows
+            q_rows, p_rows = pose_rows(t_rows)
+            img = _render_frame_jit(cam_params, q_rows, p_rows, tex_img,
+                                    tex_scale, tex_offset, model_name,
+                                    tuple(image_size), supersample)
+            acc = img if acc is None else acc + img
+        img = np.asarray(acc) / len(taps)
+        if exposure_flicker > 0:
+            img = img * (1.0 + exposure_flicker
+                         * np.sin(2.0 * np.pi * flicker_hz * t_stamp))
         if noise_std > 0:
             img = img + rng.normal(0.0, noise_std, img.shape)
         frames.append(np.clip(img, 0, 255).astype(np.uint8))
@@ -173,7 +197,10 @@ def make_recording(outdir: str, *, model_name: str = "division_undistortion",
                    accel_bias=(0.05, -0.03, 0.08),
                    gyro_bias=(0.004, -0.002, 0.003),
                    supersample: int = 2, seed: int = 3,
-                   imu_cam: bool = True) -> Recording:
+                   imu_cam: bool = True,
+                   noise_std: float = 1.5, motion_blur_s: float = 0.0,
+                   exposure_flicker: float = 0.0,
+                   jpeg_quality: int = 92) -> Recording:
     """Render + mux a complete two-video dataset (intrinsics video without
     telemetry; imu-cam video with ACCL/GYRO/CORI GPMF track).
 
@@ -218,11 +245,15 @@ def make_recording(outdir: str, *, model_name: str = "division_undistortion",
     t_cam_frames = np.linspace(0.0, 0.9 / 0.1, intrinsics_frames)
     frames_cam = render_frames(pose_cam, t_cam_frames, model_name, cam_params,
                                np.array([1.0, 0, 0, 0]), np.zeros(3), tex,
-                               image_size, supersample=supersample, seed=seed)
+                               image_size, supersample=supersample, seed=seed,
+                               noise_std=noise_std,
+                               motion_blur_s=motion_blur_s,
+                               exposure_flicker=exposure_flicker)
     cam_path = os.path.join(outdir, "cam.MP4")
     fps_cam = 2.0  # slow sweep; only pose diversity matters here
     mp4_writer.write_mp4(cam_path,
-                         [mp4_writer.encode_jpeg(f) for f in frames_cam],
+                         [mp4_writer.encode_jpeg(f, quality=jpeg_quality)
+                          for f in frames_cam],
                          W, H, fps_cam)
 
     if not imu_cam:
@@ -247,7 +278,10 @@ def make_recording(outdir: str, *, model_name: str = "division_undistortion",
     frames_ic = render_frames(pose_imu, frame_stamps, model_name, cam_params,
                               q_i_c, t_i_c, tex, image_size,
                               time_offset=time_offset, line_delay=line_delay,
-                              supersample=supersample, seed=seed + 2)
+                              supersample=supersample, seed=seed + 2,
+                              noise_std=noise_std,
+                              motion_blur_s=motion_blur_s,
+                              exposure_flicker=exposure_flicker)
 
     imu_times = np.arange(0.0, duration, 1.0 / imu_rate)
     tt = jnp.asarray(imu_times)
@@ -263,7 +297,9 @@ def make_recording(outdir: str, *, model_name: str = "division_undistortion",
     payloads, dur = mp4_writer.make_imu_payloads(
         imu_times, accel, gyro, cam_quats=np.asarray(q), cam_quat_times=imu_times)
     ic_path = os.path.join(outdir, "imu_cam.MP4")
-    mp4_writer.write_mp4(ic_path, [mp4_writer.encode_jpeg(f) for f in frames_ic],
+    mp4_writer.write_mp4(ic_path,
+                         [mp4_writer.encode_jpeg(f, quality=jpeg_quality)
+                          for f in frames_ic],
                          W, H, cam_fps, payloads, dur)
 
     return Recording(cam_video=cam_path, imu_cam_video=ic_path,

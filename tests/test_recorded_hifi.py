@@ -125,3 +125,82 @@ def test_hifi_fisheye_intrinsics(tmp_path_factory):
     assert np.max(np.abs(r_got - r_true)) < 1.0, \
         (np.max(np.abs(r_got - r_true)), theta_max, got[4:8],
          rec.cam_params[4:8])
+
+
+# --- Degraded footage: toward real-GoPro imaging conditions ---------------
+# The reference's published bars are measured on REAL GoPro video
+# (Readme.md:31-51); clean renders flatter the detector. This variant adds
+# true motion blur (multi-tap exposure re-render), sensor noise, exposure
+# flicker, and heavy MJPEG quantization, and holds the SAME published
+# bars (VERDICT r4 next #8).
+DEGRADED_KW = dict(HIFI_KW, seed=11, noise_std=3.0,
+                   motion_blur_s=4e-3,      # ~1-2 px blur at this motion
+                   exposure_flicker=0.08,   # 8% gain modulation @ 8 Hz
+                   jpeg_quality=70)         # visible DCT artifacts
+
+
+@pytest.fixture(scope="module")
+def degraded_summary(tmp_path_factory):
+    outdir = str(tmp_path_factory.mktemp("recorded_degraded"))
+    rec = recorded.make_recording(outdir, **DEGRADED_KW)
+    ws = str(tmp_path_factory.mktemp("ws_degraded"))
+    args = run_calibration.build_parser().parse_args([
+        "--path_calib_dataset", os.path.dirname(rec.cam_video),
+        "--telemetry_json", rec.imu_cam_video,
+        "--telemetry_format", "gopro",
+        "--num_squares_x", "10", "--num_squares_y", "8",
+        "--checker_size_m", "0.04", "--marker_size_m", "0.03",
+        "--workspace", ws,
+    ])
+    return run_calibration.run(args), rec
+
+
+def test_degraded_intrinsics_published_bar(degraded_summary):
+    summary, rec = degraded_summary
+    assert summary["intrinsics_reproj_error_px"] <= 0.31, \
+        summary["intrinsics_reproj_error_px"]
+    got = np.asarray(summary["intrinsics_params"])
+    assert abs(got[0] - rec.cam_params[0]) / rec.cam_params[0] < 0.01
+
+
+def test_degraded_imu_camera_published_bar(degraded_summary):
+    summary, rec = degraded_summary
+    assert summary["final_reproj_error_px"] <= 0.9, \
+        summary["final_reproj_error_px"]
+    assert abs(summary["time_offset_s"] - rec.time_offset) < 3e-3
+    q_got = np.asarray(summary["q_i_c"])
+    ang = 2 * np.arccos(min(1.0, abs(float(np.dot(q_got, rec.q_i_c)))))
+    assert ang < np.deg2rad(0.5), np.rad2deg(ang)
+
+
+def test_degraded_native_vs_opencv_corners(degraded_summary):
+    """Corner-by-corner cross-validation of the native detector against
+    OpenCV's charuco detector on the SAME degraded frames."""
+    cv2 = pytest.importorskip("cv2")
+    if not hasattr(cv2, "aruco"):
+        pytest.skip("cv2 without aruco")
+    _, rec = degraded_summary
+    from openimucameracalibrator_tpu.core import board_extractor
+
+    kw = dict(squares_x=10, squares_y=8, square_length=0.04,
+              marker_length=0.03)
+    frames = []
+    for k, (t, g) in enumerate(
+            board_extractor.iter_video_frames(rec.imu_cam_video)):
+        if k % 40 == 0:
+            frames.append((t, g))
+        if len(frames) >= 5:
+            break
+    ds_nat = board_extractor.extract_board(
+        iter(frames), board_extractor.BoardExtractorOptions(**kw))
+    ds_cv = board_extractor.extract_board(
+        iter(frames),
+        board_extractor.BoardExtractorOptions(backend="opencv", **kw))
+    both = ds_nat.valid & ds_cv.valid
+    assert both.sum() >= 0.6 * ds_cv.valid.sum(), \
+        (int(both.sum()), int(ds_cv.valid.sum()))
+    d = np.linalg.norm(ds_nat.points2d[both] - ds_cv.points2d[both], axis=-1)
+    # Two independent subpixel refiners on blurred+compressed imagery:
+    # agreement to a fraction of a pixel.
+    assert np.median(d) < 0.35, np.median(d)
+    assert d.mean() < 0.6, d.mean()
