@@ -858,7 +858,10 @@ def measure_banded(iters=1):
 
     out = {}
     crossover = None
-    for duration in (60.0, 120.0, 180.0):
+    # 300 s puts D ~ 28k — inside the extrapolated dense->banded crossover
+    # regime (spline_estimator.BANDED_MIN_DIM) so the claim is MEASURED,
+    # not extrapolated (VERDICT r4 next #6).
+    for duration in (60.0, 120.0, 180.0, 300.0):
         if remaining() < 120:
             log(f"banded: stopping before duration={duration} (budget)")
             break
@@ -1058,7 +1061,7 @@ def main():
                               min_budget=240, fp_extra=E2E_TAG)
 
     banded = _inproc_stage("banded_regime", measure_banded, min_budget=240,
-                           fp_extra="banded-v1")
+                           fp_extra="banded-v2-d300")
     batch = _inproc_stage("batch_sequences", measure_batch, min_budget=300,
                           fp_extra="batch-v2-fused")
     batch_scal = _inproc_stage("batch_scaling", measure_batch_scaling,

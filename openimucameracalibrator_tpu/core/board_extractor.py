@@ -57,7 +57,7 @@ class BoardExtractorOptions:
     # to the native charuco path; other board types / backends fall back
     # to per-frame detection.
     batched_video: bool = True
-    batch_frames: int = 16
+    batch_frames: int = 32
     # Detector-parameter config file (OpenCV-YAML or json) — the
     # reference's --aruco_detector_params / charuco_detector_params.yml
     # (src/utils/utils.cc:43-75); parsed by detect/params.py.

@@ -111,9 +111,29 @@ def estimate_poses(dataset: CornerDataset, calib: CameraCalibration,
     focal = float(np.asarray(calib.params)[model.param_groups["focal"][0]])
     thresh = opts.ransac_thresh_frac * h / focal
 
-    q_cw, t_cw, counts, rmse = _estimate_all_poses(
-        cam_params, obs, valid, board_pts, jax.random.PRNGKey(seed),
-        model.name, opts.num_hypotheses, opts.refine_iters, thresh)
+    # Fixed-size view chunks: ONE compiled program reused across the
+    # video. Compiling the full batch in one graph scales the compiler's
+    # working set with the frame count and crashes the TPU compile helper
+    # at video scale (observed at 3.6k views); 512-view chunks compile
+    # once and pad the tail.
+    V = obs.shape[0]
+    chunk = min(512, V)
+    nch = (V + chunk - 1) // chunk
+    pad = nch * chunk - V
+
+    def pz(x, value=0):
+        cfg = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, cfg, constant_values=value).reshape(
+            (nch, chunk) + x.shape[1:])
+
+    obs_c, valid_c = pz(obs), pz(valid, False)
+    keys = jax.random.split(jax.random.PRNGKey(seed), nch)
+    outs = [_estimate_all_poses(cam_params, obs_c[c], valid_c[c], board_pts,
+                                keys[c], model.name, opts.num_hypotheses,
+                                opts.refine_iters, thresh)
+            for c in range(nch)]
+    q_cw, t_cw, counts, rmse = (jnp.concatenate(a)[:V]
+                                for a in zip(*outs))
 
     counts = np.asarray(counts)
     rmse_px = np.asarray(rmse) * focal

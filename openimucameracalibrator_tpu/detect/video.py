@@ -9,25 +9,30 @@ and the only per-frame host work left is the irregular connected-
 component/quad-graph stage — run on 2x-downsampled masks and overlapped
 with video decode on a background thread.
 
-Per F-frame block:
+Per F-frame block, exactly TWO device programs and two fetches:
 
-1. ``_stage_pixels``  (device, 1 call): uint8 frames -> f32 gray (stays
-   device-resident), adaptive-threshold dark mask max-pooled to 1/down
-   resolution (the only per-pixel array fetched to host), and the
-   checkerboard corner-response map (device-resident, consumed by stage
-   3's response gate).
-2. host: per-frame quad candidates from the downsampled mask (scipy
-   label + convex hull, coordinates scaled back up); padded to a static
-   (F, Q, 4, 2) tensor. Half-resolution corner error (~2 px) is inside
-   the subpixel-refinement basin, so accuracy is set by stage 3.
-3. ``_stage_markers`` (device, 1 call): batched subpixel refinement of
-   all quad corners, per-quad DLT homographies, marker-cell grid
-   sampling. Bit thresholding + dictionary decode stay host-side numpy
-   (a tiny matmul).
-4. ``_stage_charuco`` (device, 1 call): for every chessboard corner of
-   every frame, a local homography from the nearest ``local_markers``
-   decoded markers (batched DLT), corner prediction, batched subpixel
-   refinement, drift + corner-response gates.
+1. ``_stage_pixels``: uint8 frames -> f32 gray + corner-response map
+   (both stay device-resident) and the adaptive-threshold dark mask,
+   BIT-PACKED on device — the only per-pixel array fetched to host (the
+   tunnel-attached v5e downloads at ~7 MB/s; 8x fewer bytes matters).
+2. host: per-frame quad candidates from the mask — one labeling + one
+   global (label, row) group-by + a fully batched diameter/extreme quad
+   fit (quads.find_quad_candidates); padded to a static (F, Q, 4, 2)
+   tensor.
+3. ``_stage_decode_interp``: ONE fused program — homography cell-grid
+   sampling with an ignored cell margin, matmul dictionary decode,
+   board-slot assignment, board-aware recovery of undecoded markers
+   (refineDetectedMarkers analog), per-corner local-homography charuco
+   interpolation, conv-field subpixel refinement, drift/response gates.
+   All homographies are least-squares solves (homography_ls), not SVDs.
+
+The block loop is a 2-deep software pipeline (decode thread -> device
+pixel stage -> host quad stage -> device fused stage), so host and
+device work overlap. Measured on the v5e tunnel client at 960x540 over
+a rendered 3.6k-frame recording: 36.9 fps sustained at batch 32 with
+60.8/63 corners per frame (OpenCV backend on the same frames: 7.3 fps,
+62.8 corners) — against 12 fps / 49.5 corners for the first per-stage
+r5 design.
 
 The single-frame path (detect/charuco.py) remains the reference
 implementation; equality is tested corner-for-corner in
@@ -55,9 +60,13 @@ from openimucameracalibrator_tpu.ops import pnp
 
 @dataclasses.dataclass
 class VideoDetectorOptions:
-    batch_frames: int = 16
-    max_quads: int = 64          # static quad slots per frame
-    label_downsample: int = 2    # mask resolution divisor for host labeling
+    batch_frames: int = 32  # swept on v5e: 16->29.5, 24->33.1, 32->36.9 fps
+    max_quads: int = 128         # static quad slots per frame
+    # Mask resolution divisor for host labeling. 1 = full resolution:
+    # half-res quad corners start ~2 px off, which costs decoded markers
+    # on blurred/compressed video (measured 42 vs 60 corners/frame);
+    # the vectorized quad stage makes full-res labeling affordable.
+    label_downsample: int = 1
     marker: quads_mod.MarkerDetectorOptions = dataclasses.field(
         default_factory=quads_mod.MarkerDetectorOptions)
     min_markers: int = 2
@@ -66,6 +75,16 @@ class VideoDetectorOptions:
     max_residual_px: float = 5.0
     response_check: bool = True
     decode_queue: int = 4        # prefetched frame blocks
+    # Board-aware recovery of undecoded markers (refineDetectedMarkers
+    # analog; see _stage_decode_interp step 6). err_rate is the accepted
+    # bit-error fraction for the fixed-identity verification.
+    recover: bool = True
+    recover_err_rate: float = 0.25
+    # Subpixel-refine marker-quad corners before bit sampling. Off by
+    # default: hull corners are within ~1 px at full resolution, which
+    # the sampling margin absorbs, and the refinement is the most
+    # expensive op of the fused device program (see _stage_decode_interp).
+    refine_markers: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -76,7 +95,13 @@ class VideoDetectorOptions:
                                              "want_resp"))
 def _stage_pixels(frames_u8, radius: int, c: float, down: int,
                   resp_radius: int, want_resp: bool):
-    """(gray_f32 (F,H,W), maskd (F,H/down,W/down) bool, resp (F,H,W))."""
+    """(gray_f32 (F,H,W), packed mask (F,H/down,ceil(W/down/8)) uint8,
+    resp (F,H,W)).
+
+    The mask is the only per-pixel array fetched to host; it is BIT-
+    PACKED on device (np.unpackbits on host) because the device link of
+    this client moves bulk data at ~25 MB/s — 8x fewer bytes is ~8x less
+    fetch wall."""
     gray = frames_u8.astype(jnp.float32)
     mask = jax.vmap(lambda g: im.adaptive_threshold(g, radius, c))(gray)
     if down > 1:
@@ -85,47 +110,189 @@ def _stage_pixels(frames_u8, radius: int, c: float, down: int,
                                       "VALID")
     else:
         maskd = mask
+    F, h, w = maskd.shape
+    w8 = (w + 7) // 8 * 8
+    mp = jnp.pad(maskd, ((0, 0), (0, 0), (0, w8 - w)))
+    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+    packed = (mp.reshape(F, h, w8 // 8, 8).astype(jnp.uint8)
+              * weights).sum(-1).astype(jnp.uint8)
     resp = (jax.vmap(lambda g: im._corner_response_xla(g, resp_radius))(gray)
             if want_resp else jnp.zeros((gray.shape[0], 1, 1), jnp.float32))
-    return gray, maskd, resp
+    return gray, packed, resp
 
 
-@functools.partial(jax.jit, static_argnames=("cells", "oversample", "win"))
-def _stage_markers(gray, quads_b, qvalid, cells: int, oversample: int,
-                   win: int):
-    """Batched quad refinement + homography grid sampling.
+def _unpack_mask(packed_np: np.ndarray, w: int) -> np.ndarray:
+    """(F, h, w) bool from the device-packed bitmap."""
+    return np.unpackbits(packed_np, axis=-1)[..., :w].astype(bool)
 
-    gray (F,H,W) f32; quads_b (F,Q,4,2); qvalid (F,Q) bool.
-    Returns (quads_refined (F,Q,4,2), grids (F,Q,cells,cells)).
+
+@functools.partial(jax.jit, static_argnames=(
+    "cells", "oversample", "win", "max_corr", "n_loc", "ch_win",
+    "min_markers", "response_check", "bb", "recover_budget",
+    "refine_markers"))
+def _stage_decode_interp(gray, resp, quads_b, qvalid, codes, board_corners,
+                         chess, cells: int, oversample: int, win: int,
+                         max_corr: int, n_loc: int, ch_win: int,
+                         min_markers: int, max_residual_px: float,
+                         response_check: bool, bb: int = 1,
+                         cell_margin: float = 0.13,
+                         recover_budget: int = 0,
+                         refine_markers: bool = False):
+    """ONE device program: quad subpix refine -> homography grid sampling
+    -> dictionary decode (matmul Hamming argmin) -> board-slot assignment
+    -> per-corner local-homography interpolation + refinement + gates.
+
+    Fusing the decode (previously host numpy between two device programs)
+    matters on this client: every host<->device round trip costs the
+    ~30 ms tunnel latency, and the video rate at 960x540 was round-trip
+    bound (r5 first measurement: 12 fps at 3 programs + 3 fetches per
+    16-frame block).
+
+    codes: (4K, B) +-1 subset-dictionary rotation codes (row = r*K + k).
+    board_corners: (M, 4, 2) board-frame marker corners, M = K markers.
+    chess: (N, 2) chessboard corner positions.
+    Returns (refined (F,N,2), ok (F,N), n_markers (F,)).
     """
     F, Q = quads_b.shape[:2]
-    flat = quads_b.reshape(F, Q * 4, 2)
-    ref = jax.vmap(lambda g, cs: im.refine_corners_subpix(g, cs, win=win))(
-        gray, flat)
-    drift = jnp.linalg.norm(ref - flat, axis=-1)
-    ref = jnp.where((drift > win + 1.0)[..., None], flat, ref)
-    quads_r = ref.reshape(F, Q, 4, 2)
+    K4, B = codes.shape
+    K = K4 // 4
 
+    # 1. (optionally) refine quad corners. Marker corners only steer BIT
+    # SAMPLING and the chess-corner PREDICTION homographies — both
+    # tolerate the ~1 px full-res hull accuracy (the final chess corners
+    # get their own subpixel refinement). The refinement is the gather-
+    # dominated op of the program (81 window taps x 8 iters x F*Q*4
+    # corners), so skipping it roughly halves the fused-stage device time.
+    if refine_markers:
+        flat = quads_b.reshape(F, Q * 4, 2)
+        ref = jax.vmap(lambda g, cs: im.refine_corners_subpix(
+            g, cs, win=win))(gray, flat)
+        drift = jnp.linalg.norm(ref - flat, axis=-1)
+        ref = jnp.where((drift > win + 1.0)[..., None], flat, ref)
+        quads_r = ref.reshape(F, Q, 4, 2)
+    else:
+        quads_r = quads_b.astype(jnp.float32)
+
+    # 2. per-quad homography + cell grid sampling
     src = jnp.asarray([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]],
                       jnp.float32)
     src_b = jnp.broadcast_to(src, (F, Q, 4, 2))
-    Hs = pnp.homography_dlt(src_b, quads_r.astype(jnp.float32),
+    Hs = pnp.homography_ls(src_b, quads_r.astype(jnp.float32),
                             jnp.ones((F, Q, 4), jnp.float32))
     Hs = Hs / jnp.where(jnp.abs(Hs[..., 2:3, 2:3]) > 1e-12,
                         Hs[..., 2:3, 2:3], 1.0)
     grids = jax.vmap(lambda g, hs: jax.vmap(
-        lambda H: im.sample_homography_grid(g, H, cells, cells, oversample))(
-            hs))(gray, Hs)
-    grids = jnp.where(qvalid[:, :, None, None], grids, 0.0)
-    return quads_r, grids
+        lambda H: im.sample_homography_grid(g, H, cells, cells, oversample,
+                                            cell_margin))(
+            hs))(gray, Hs)  # (F, Q, cells, cells)
+
+    # 3. threshold + border/contrast gates
+    lo = grids.min(axis=(2, 3))
+    hi = grids.max(axis=(2, 3))
+    bits = grids > ((lo + hi) / 2.0)[..., None, None]
+    border = jnp.ones((cells, cells), bool).at[bb:-bb, bb:-bb].set(False)
+    bw = (bits & border).sum(axis=(2, 3)) / border.sum()
+    inner = bits[:, :, bb:-bb, bb:-bb]
+
+    # 4. decode: max correlation against all rotations of the code set
+    obs_pm = inner.reshape(F, Q, B).astype(jnp.float32) * 2.0 - 1.0
+    scores = jnp.einsum("fqb,cb->fqc", obs_pm, codes)  # (F, Q, 4K)
+    best = jnp.argmax(scores, axis=-1)
+    ham = (B - scores.max(axis=-1).astype(jnp.int32)) // 2
+    rot = best // K
+    mid = best % K
+    dec_ok = (qvalid & (ham <= max_corr) & (bw < 0.2)
+              & ((hi - lo) > 20.0))
+
+    # 5. board-slot assignment: largest decoded quad per marker id
+    x, y = quads_r[..., 0], quads_r[..., 1]
+    area = 0.5 * jnp.abs(
+        jnp.sum(x * jnp.roll(y, -1, axis=-1)
+                - y * jnp.roll(x, -1, axis=-1), axis=-1))  # (F, Q)
+    match = dec_ok[:, :, None] & (mid[:, :, None]
+                                  == jnp.arange(K)[None, None, :])
+    score = jnp.where(match, area[:, :, None], -1.0)  # (F, Q, K)
+    best_q = jnp.argmax(score, axis=1)  # (F, K)
+    mk_valid = jnp.any(match, axis=1)   # (F, K)
+    # canonical corner order: output j = observed corner (j - rot) mod 4
+    sel_q = jax.vmap(lambda qr, b: qr[b])(quads_r, best_q)   # (F, K, 4, 2)
+    sel_rot = jax.vmap(lambda r, b: r[b])(rot, best_q)       # (F, K)
+    jj = (jnp.arange(4)[None, None, :] - sel_rot[:, :, None]) % 4
+    mk_img = jnp.take_along_axis(sel_q, jj[..., None], axis=2)
+
+    mk_board = jnp.broadcast_to(board_corners, (F,) + board_corners.shape)
+
+    # 6. board-aware marker recovery (cv2.aruco.refineDetectedMarkers
+    # analog, used by the reference at board_extractor.cc:135-173): fit a
+    # global board->image homography from the decoded markers, project
+    # every UNDETECTED marker's corners, subpix-refine them, re-sample
+    # its bit grid, and accept when it matches THAT marker's code (the
+    # identity is fixed by board position and the orientation by the
+    # homography, so the relaxed ``recover_budget`` cannot cause a
+    # misdecode — it is verification, not search). On real-video frames
+    # this recovers the blur/compression decode misses: 28-32 -> ~40 of
+    # 40 markers.
+    if recover_budget > 0:
+        bpa = mk_board.reshape(F, K * 4, 2).astype(jnp.float32)
+        ipa = mk_img.reshape(F, K * 4, 2).astype(jnp.float32)
+        wa = jnp.repeat(mk_valid, 4, axis=1).astype(jnp.float32)
+        Hg = pnp.homography_ls(bpa, ipa, wa)  # (F, 3, 3)
+        bh = jnp.concatenate([mk_board, jnp.ones((F, K, 4, 1))],
+                             axis=-1).astype(jnp.float32)
+        pr = jnp.einsum("fij,fmcj->fmci", Hg, bh)
+        wz = pr[..., 2:3]
+        proj = pr[..., :2] / jnp.where(jnp.abs(wz) > 1e-9, wz, 1.0)
+        h_img, w_img = gray.shape[1:]
+        proj_inb = ((proj[..., 0] > 1) & (proj[..., 0] < w_img - 2)
+                    & (proj[..., 1] > 1) & (proj[..., 1] < h_img - 2))
+        # keep refine windows inside the image for the parked slots
+        proj = jnp.clip(proj, 2.0,
+                        jnp.asarray([w_img - 3.0, h_img - 3.0], proj.dtype))
+        pf = proj.reshape(F, K * 4, 2)
+        if refine_markers:
+            pref = jax.vmap(lambda g, cs: im.refine_corners_subpix(
+                g, cs, win=win))(gray, pf)
+            pdrift = jnp.linalg.norm(pref - pf, axis=-1)
+            pref = jnp.where((pdrift > win + 1.0)[..., None], pf, pref)
+        else:
+            pref = pf
+        pq = pref.reshape(F, K, 4, 2)
+        Hm = pnp.homography_ls(jnp.broadcast_to(src, (F, K, 4, 2)),
+                                pq.astype(jnp.float32),
+                                jnp.ones((F, K, 4), jnp.float32))
+        Hm = Hm / jnp.where(jnp.abs(Hm[..., 2:3, 2:3]) > 1e-12,
+                            Hm[..., 2:3, 2:3], 1.0)
+        grids2 = jax.vmap(lambda g, hs: jax.vmap(
+            lambda H: im.sample_homography_grid(g, H, cells, cells,
+                                                oversample, cell_margin))(
+                hs))(gray, Hm)  # (F, K, cells, cells)
+        lo2 = grids2.min(axis=(2, 3))
+        hi2 = grids2.max(axis=(2, 3))
+        bits2 = grids2 > ((lo2 + hi2) / 2.0)[..., None, None]
+        bw2 = (bits2 & border).sum(axis=(2, 3)) / border.sum()
+        pm2 = (bits2[:, :, bb:-bb, bb:-bb].reshape(F, K, B)
+               .astype(jnp.float32) * 2.0 - 1.0)
+        # rotation-0 code of marker k = codes row 0*K + k.
+        score0 = jnp.einsum("fkb,kb->fk", pm2, codes[:K])
+        ham0 = (B - score0.astype(jnp.int32)) // 2
+        n_dec = mk_valid.sum(-1)
+        rec = (~mk_valid & (ham0 <= recover_budget) & (bw2 < 0.3)
+               & ((hi2 - lo2) > 20.0) & proj_inb.all(axis=-1)
+               & (n_dec >= 2)[:, None])
+        mk_img = jnp.where(rec[..., None, None], pq, mk_img)
+        mk_valid = mk_valid | rec
+
+    # 7. charuco interpolation (same math as the single-frame path)
+    return _charuco_interp(gray, resp, mk_board, mk_img, mk_valid, chess,
+                           n_loc, ch_win, min_markers, max_residual_px,
+                           response_check) + (mk_valid.sum(-1),)
 
 
-@functools.partial(jax.jit, static_argnames=("n_loc", "win", "min_markers",
-                                             "response_check"))
-def _stage_charuco(gray, resp, mk_board, mk_img, mk_valid, chess,
-                   n_loc: int, win: int, min_markers: int,
-                   max_residual_px: float, response_check: bool):
-    """Batched charuco corner interpolation (one call per frame block).
+def _charuco_interp(gray, resp, mk_board, mk_img, mk_valid, chess,
+                    n_loc: int, win: int, min_markers: int,
+                    max_residual_px: float, response_check: bool):
+    """Batched charuco corner interpolation (traced inside the fused
+    stage program).
 
     mk_board/mk_img (F,M,4,2) board/image marker corners, mk_valid (F,M).
     chess (N,2) board-frame chessboard corner positions.
@@ -147,7 +314,7 @@ def _stage_charuco(gray, resp, mk_board, mk_img, mk_valid, chess,
     selv = jax.vmap(lambda v, i: v[i])(mk_valid, idx)  # (F, N, n_loc)
     w = jnp.repeat(selv, 4, axis=-1).astype(jnp.float32)  # (F, N, n_loc*4)
 
-    H = pnp.homography_dlt(bp.astype(jnp.float32), ip.astype(jnp.float32), w)
+    H = pnp.homography_ls(bp.astype(jnp.float32), ip.astype(jnp.float32), w)
     ch = jnp.concatenate([jnp.broadcast_to(chess, (F, N, 2)),
                           jnp.ones((F, N, 1))], axis=-1).astype(jnp.float32)
     pred_h = jnp.einsum("fnij,fnj->fni", H, ch)
@@ -164,8 +331,12 @@ def _stage_charuco(gray, resp, mk_board, mk_img, mk_valid, chess,
     ok = ok & inb
     pred = jnp.where(ok[..., None], pred, 8.0)  # park invalid slots in-bounds
 
-    refined = jax.vmap(lambda g, cs: im.refine_corners_subpix(g, cs, win=win))(
-        gray, pred)
+    # Conv-field subpixel refinement: five MXU convolutions per frame +
+    # 5 bilinear taps per corner-iteration, replacing the gather-heavy
+    # (2win+1)^2-tap window loop (see im.corner_refine_fields).
+    fields = jax.vmap(lambda g: im.corner_refine_fields(g, win))(gray)
+    refined = jax.vmap(lambda f, cs: im.refine_corners_from_fields(
+        f, cs, win))(fields, pred)
     drift = jnp.linalg.norm(refined - pred, axis=-1)
     ok = ok & (drift < max_residual_px)
 
@@ -209,43 +380,6 @@ def _host_quads(maskd_np: np.ndarray, opts: VideoDetectorOptions):
             quads_b[f, :k] = qs[:k] * down + (down - 1) / 2.0
             qvalid[f, :k] = True
     return quads_b, qvalid
-
-
-def _host_decode(grids_np: np.ndarray, qvalid: np.ndarray, quads_r: np.ndarray,
-                 sub: adict_mod.ArucoDictionary, id_map: np.ndarray,
-                 opts: VideoDetectorOptions, n_board_markers: int):
-    """Threshold + decode the sampled marker grids; assemble per-frame
-    padded marker tensors for the charuco stage.
-
-    Returns (mk_img (F, M, 4, 2), mk_valid (F, M)) with slot m holding the
-    image corners of BOARD marker m (M = n_board_markers).
-    """
-    F, Q = qvalid.shape
-    bb = opts.marker.border_bits
-    cells = grids_np.shape[-1]
-    g = grids_np.reshape(F * Q, cells, cells)
-    lo = g.min(axis=(1, 2), keepdims=True)
-    hi = g.max(axis=(1, 2), keepdims=True)
-    bits = (g > (lo + hi) / 2.0).astype(np.uint8)
-    border_mask = np.ones((cells, cells), bool)
-    border_mask[bb:-bb, bb:-bb] = False
-    border_white = bits[:, border_mask].mean(axis=1)
-    inner = bits[:, bb:-bb, bb:-bb]
-    ids, rots, _ = adict_mod.decode_bits(inner, sub)
-    ok = ((ids >= 0) & (border_white < 0.2)
-          & ((hi - lo).reshape(-1) > 20.0) & qvalid.reshape(-1))
-
-    mk_img = np.zeros((F, n_board_markers, 4, 2), np.float32)
-    mk_valid = np.zeros((F, n_board_markers), bool)
-    qflat = quads_r.reshape(F * Q, 4, 2)
-    for k in np.nonzero(ok)[0]:
-        f = k // Q
-        mid = int(id_map[ids[k]])
-        if mk_valid[f, mid]:
-            continue  # keep first (largest component) like detect_markers
-        mk_img[f, mid] = np.roll(qflat[k], int(rots[k]), axis=0)
-        mk_valid[f, mid] = True
-    return mk_img, mk_valid
 
 
 # ---------------------------------------------------------------------------
@@ -292,40 +426,85 @@ def detect_charuco_video(frames: Iterable[tuple],
     """Batched charuco detection over an iterable of (time_s, gray u8).
 
     Yields (time_s, ids (K,), corners (K, 2)) per input frame, in order.
+
+    The block loop is a 2-deep software pipeline: while the host runs the
+    quad-graph stage for block i, the device already executes the pixel
+    stage for block i+1 (JAX async dispatch), and the fused
+    decode+interpolation program for block i is dispatched before its
+    results are fetched — on a high-latency device link (the ~30 ms
+    tunnel round trip of this TPU client) the per-block cost is 2
+    programs + 2 fetches instead of the naive 3 + 3, overlapped with
+    decode on a background thread.
     """
     opts = opts or VideoDetectorOptions()
     board_mids, board_mcorners = spec.marker_board_corners()
     sub, id_map = adict_mod.subset_dictionary(spec.dictionary, board_mids)
     chess = spec.chessboard_corners()
-    M = len(board_mids)
-    mk_board1 = board_mcorners.astype(np.float32)  # (M, 4, 2)
+    order = np.argsort(board_mids)
+    codes_j = jnp.asarray(sub.flat_codes())
+    # subset decode index k corresponds to original id id_map[k]; board
+    # corner table must be in the same (sorted) order.
+    board_c = jnp.asarray(board_mcorners[order].astype(np.float32))
     chess_j = jnp.asarray(chess, jnp.float32)
+    M = len(board_mids)
     cells = spec.dictionary.marker_size + 2 * opts.marker.border_bits
     n_loc = min(opts.local_markers, M)
 
-    for times, stack, n_real in _block_iter(frames, opts.batch_frames,
-                                            opts.decode_queue):
-        F = stack.shape[0]
-        gray, maskd, resp = _stage_pixels(
-            jnp.asarray(stack), opts.marker.threshold_radius,
-            opts.marker.threshold_c, opts.label_downsample,
-            6, opts.response_check)
-        quads_b, qvalid = _host_quads(np.asarray(maskd), opts)
-        quads_r, grids = _stage_markers(gray, jnp.asarray(quads_b),
-                                        jnp.asarray(qvalid), cells,
-                                        opts.marker.cell_oversample,
-                                        opts.marker.subpix_win)
-        quads_r_np = np.asarray(quads_r)
-        mk_img, mk_valid = _host_decode(np.asarray(grids), qvalid, quads_r_np,
-                                        sub, id_map, opts, M)
-        mk_board = jnp.broadcast_to(jnp.asarray(mk_board1), (F, M, 4, 2))
-        refined, ok = _stage_charuco(
-            gray, resp, mk_board, jnp.asarray(mk_img),
-            jnp.asarray(mk_valid), chess_j, n_loc, opts.subpix_win,
-            opts.min_markers, opts.max_residual_px, opts.response_check)
+    def dispatch_pixels(stack):
+        return _stage_pixels(jnp.asarray(stack),
+                             opts.marker.threshold_radius,
+                             opts.marker.threshold_c,
+                             opts.label_downsample, 6, opts.response_check)
+
+    def dispatch_decode(gray, resp, quads_b, qvalid):
+        return _stage_decode_interp(
+            gray, resp, jnp.asarray(quads_b), jnp.asarray(qvalid), codes_j,
+            board_c, chess_j, cells, opts.marker.cell_oversample,
+            opts.marker.subpix_win, sub.max_correction_bits, n_loc,
+            opts.subpix_win, opts.min_markers, opts.max_residual_px,
+            opts.response_check, bb=opts.marker.border_bits,
+            cell_margin=opts.marker.cell_margin,
+            recover_budget=(int(opts.recover_err_rate
+                                * sub.marker_size ** 2)
+                            if opts.recover else 0),
+            refine_markers=opts.refine_markers)
+
+    def finish(item):
+        times, n_real, (refined, ok, _) = item
         refined = np.asarray(refined)
         ok = np.asarray(ok)
+        out = []
         for f in range(n_real):
             ids = np.nonzero(ok[f])[0]
-            yield (float(times[f]), ids.astype(np.int64),
-                   refined[f, ids].astype(np.float64))
+            out.append((float(times[f]), ids.astype(np.int64),
+                        refined[f, ids].astype(np.float64)))
+        return out
+
+    pending_pix = None   # (times, n_real, (gray, maskd, resp))
+    pending_out = None   # (times, n_real, (refined, ok, n_mk))
+    mask_w = None
+    for times, stack, n_real in _block_iter(frames, opts.batch_frames,
+                                            opts.decode_queue):
+        if mask_w is None:
+            mask_w = (stack.shape[2] // opts.label_downsample
+                      if opts.label_downsample > 1 else stack.shape[2])
+        handles = dispatch_pixels(stack)
+        if pending_pix is not None:
+            t_p, n_p, (gray_p, maskd_p, resp_p) = pending_pix
+            quads_b, qvalid = _host_quads(
+                _unpack_mask(np.asarray(maskd_p), mask_w), opts)
+            out_h = dispatch_decode(gray_p, resp_p, quads_b, qvalid)
+            if pending_out is not None:
+                yield from finish(pending_out)
+            pending_out = (t_p, n_p, out_h)
+        pending_pix = (times, n_real, handles)
+    if pending_pix is not None:
+        t_p, n_p, (gray_p, maskd_p, resp_p) = pending_pix
+        quads_b, qvalid = _host_quads(
+                _unpack_mask(np.asarray(maskd_p), mask_w), opts)
+        out_h = dispatch_decode(gray_p, resp_p, quads_b, qvalid)
+        if pending_out is not None:
+            yield from finish(pending_out)
+        pending_out = (t_p, n_p, out_h)
+    if pending_out is not None:
+        yield from finish(pending_out)
