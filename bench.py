@@ -632,7 +632,12 @@ def measure_batch_scaling(ns=(2, 4, 6, 8), lm_iters=6):
 E2E_DURATION = 60.0
 E2E_FPS = 60.0
 E2E_SIZE = (960, 540)
-E2E_TAG = "ds3e2e-v1"
+E2E_TAG = "ds3e2e-v2"
+# The rendered dataset is keyed SEPARATELY from the measurement schema
+# tag: detection/pipeline code changes (E2E_TAG bumps) do not change the
+# rendered video, so the ~14 min TPU render must not be repeated for
+# them. Bump E2E_DATA_TAG only when the recording content changes.
+E2E_DATA_TAG = "ds3e2e-data-v1"
 
 
 def _e2e_dataset(allow_render=True):
@@ -646,7 +651,7 @@ def _e2e_dataset(allow_render=True):
     CPU subprocess must never re-render — it reuses the TPU-rendered
     files)."""
     import hashlib
-    key = (f"{E2E_TAG}|{E2E_DURATION}|{E2E_FPS}|{E2E_SIZE}|{LINE_DELAY}"
+    key = (f"{E2E_DATA_TAG}|{E2E_DURATION}|{E2E_FPS}|{E2E_SIZE}|{LINE_DELAY}"
            f"|{TIME_OFFSET}|{IMU_RATE}")
     d = os.path.join("/tmp", "oicc_e2e_"
                      + hashlib.md5(key.encode()).hexdigest()[:10])
@@ -675,19 +680,58 @@ def _e2e_dataset(allow_render=True):
     return d
 
 
-def measure_e2e_pipeline():
-    """FULL pipeline wall clock on the current backend: MP4 decode ->
-    batched native detection over all frames -> intrinsics -> poses ->
-    SEW -> rotation init -> continuous-time batch solve -> result json
+# The CPU-vs-TPU e2e RATIO is measured on a reduced 12 s / 30 fps
+# recording run through the IDENTICAL pipeline on both backends: the
+# full 60 s pipeline on this 2-core CPU would take hours (the DS3-scale
+# CPU LM alone runs at 0.014 iters/s). Small scale FAVORS the CPU (less
+# work to amortize compiles and transfers over), so the reported ratio
+# is a conservative lower bound on the full-scale speedup; the headline
+# full-scale TPU wall is reported separately from e2e_tpu.
+E2E_SMALL_DURATION = 12.0
+E2E_SMALL_FPS = 30.0
+
+
+def _e2e_dataset_small(allow_render=True):
+    """Render-once reduced recording for the CPU/TPU ratio (same board,
+    camera model, RS line delay and IMU rate as the full dataset)."""
+    import hashlib
+    key = (f"{E2E_DATA_TAG}-small|{E2E_SMALL_DURATION}|{E2E_SMALL_FPS}"
+           f"|{E2E_SIZE}|{LINE_DELAY}|{TIME_OFFSET}|{IMU_RATE}")
+    d = os.path.join("/tmp", "oicc_e2e_"
+                     + hashlib.md5(key.encode()).hexdigest()[:10])
+    marker = os.path.join(d, "DONE")
+    if os.path.exists(marker):
+        return d
+    if not allow_render:
+        return None
+    from openimucameracalibrator_tpu.utils import recorded
+    log(f"e2e-small: rendering {E2E_SMALL_DURATION:.0f}s @ "
+        f"{E2E_SMALL_FPS:.0f}fps recording -> {d}")
+    rec = recorded.make_recording(
+        d, model_name="division_undistortion", image_size=E2E_SIZE,
+        duration=E2E_SMALL_DURATION, cam_fps=E2E_SMALL_FPS,
+        intrinsics_frames=30, imu_rate=IMU_RATE, time_offset=TIME_OFFSET,
+        line_delay=LINE_DELAY, squares_x=10, squares_y=8,
+        square_length=0.04, marker_length=0.03, seed=5)
+    with open(os.path.join(d, "gt.json"), "w") as f:
+        json.dump({"cam_params": np.asarray(rec.cam_params).tolist(),
+                   "q_i_c": np.asarray(rec.q_i_c).tolist(),
+                   "t_i_c": np.asarray(rec.t_i_c).tolist(),
+                   "time_offset": rec.time_offset,
+                   "line_delay": rec.line_delay}, f)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return d
+
+
+def _run_pipeline(d, n_video_frames):
+    """Run the full calibration pipeline on dataset dir ``d`` and time it
     (reference analog python/run_gopro_calibration.py:137-333). No
     workspace caching — every stage executes."""
     import jax
 
     from openimucameracalibrator_tpu.apps import run_calibration
 
-    d = _e2e_dataset(allow_render=remaining() > 1500)
-    if d is None:
-        return {"skipped": "dataset not rendered and no budget to render"}
     with open(os.path.join(d, "gt.json")) as f:
         gt = json.load(f)
     args = run_calibration.build_parser().parse_args([
@@ -705,7 +749,7 @@ def measure_e2e_pipeline():
     return {
         "wall_s": round(wall, 1),
         "backend": jax.default_backend(),
-        "n_video_frames": int(E2E_DURATION * E2E_FPS) + 30,
+        "n_video_frames": n_video_frames,
         "intrinsics_reproj_px": round(
             float(summary["intrinsics_reproj_error_px"]), 4),
         "final_reproj_px": round(float(summary["final_reproj_error_px"]), 4),
@@ -715,11 +759,36 @@ def measure_e2e_pipeline():
     }
 
 
+def measure_e2e_pipeline():
+    """FULL-SCALE (60 s, 3.6k frames) pipeline wall on the current
+    backend: MP4 decode -> batched native detection over all frames ->
+    intrinsics -> poses -> SEW -> rotation init -> continuous-time batch
+    solve -> result json."""
+    d = _e2e_dataset(allow_render=remaining() > 1500)
+    if d is None:
+        return {"skipped": "dataset not rendered and no budget to render"}
+    return _run_pipeline(d, int(E2E_DURATION * E2E_FPS) + 30)
+
+
+def measure_e2e_small():
+    """Reduced-scale pipeline on the current backend (the CPU/TPU ratio
+    dataset — see E2E_SMALL_DURATION note)."""
+    d = _e2e_dataset_small(allow_render=remaining() > 300)
+    if d is None:
+        return {"skipped": "small dataset not rendered and no budget"}
+    return _run_pipeline(d, int(E2E_SMALL_DURATION * E2E_SMALL_FPS) + 30)
+
+
 def stage_e2e_cpu():
-    """CPU-only full pipeline (subprocess; reuses the rendered dataset)."""
+    """CPU-only reduced-scale pipeline (subprocess; reuses the rendered
+    small dataset — never re-renders)."""
     import jax
     jax.config.update("jax_platforms", "cpu")
-    out = measure_e2e_pipeline()
+    d = _e2e_dataset_small(allow_render=False)
+    if d is None:
+        out = {"skipped": "small dataset not rendered"}
+    else:
+        out = _run_pipeline(d, int(E2E_SMALL_DURATION * E2E_SMALL_FPS) + 30)
     print(json.dumps(out))
 
 
@@ -1080,6 +1149,8 @@ def main():
     # cached number is the honest fresh-process wall).
     e2e_tpu = _inproc_stage("e2e_tpu", measure_e2e_pipeline, min_budget=400,
                             fp_extra=E2E_TAG)
+    e2e_tpu_small = _inproc_stage("e2e_tpu_small", measure_e2e_small,
+                                  min_budget=240, fp_extra=E2E_TAG)
 
     cpu_env = {"JAX_PLATFORMS": "cpu", "JAX_ENABLE_X64": "1"}
     base, _ = _aux_stage("cpu_baseline", "cpu_baseline", cpu_env,
@@ -1096,11 +1167,16 @@ def main():
 
     e2e = None
     if e2e_tpu and "wall_s" in e2e_tpu:
-        e2e = {"tpu": e2e_tpu}
-        if e2e_cpu and "wall_s" in e2e_cpu:
-            e2e["cpu"] = e2e_cpu
-            e2e["speedup_vs_cpu"] = round(
-                e2e_cpu["wall_s"] / e2e_tpu["wall_s"], 2)
+        e2e = {"tpu_60s_3600frames": e2e_tpu}
+        if e2e_tpu_small and "wall_s" in e2e_tpu_small:
+            e2e["tpu_12s_390frames"] = e2e_tpu_small
+            if e2e_cpu and "wall_s" in e2e_cpu:
+                e2e["cpu_12s_390frames"] = e2e_cpu
+                # Ratio at the REDUCED scale both backends ran — a
+                # conservative lower bound on the full-scale speedup
+                # (see E2E_SMALL_DURATION note).
+                e2e["speedup_vs_cpu_small_scale"] = round(
+                    e2e_cpu["wall_s"] / e2e_tpu_small["wall_s"], 2)
 
     cpu_ips = (base or {}).get("cpu_iters_per_sec")
     sparse_ips = (sparse or {}).get("cpu_sparse_iters_per_sec")
