@@ -239,6 +239,19 @@ def measure_breakdown(problem, params0):
     js = jax.jit(solve_fn)
     t_solve = best_of(js, H, g, jnp.asarray(1e-4, H.dtype))
     t_cost = best_of(jc, params0)
+    # Fused densify+Gram Pallas kernel vs the XLA two-step (VERDICT r4
+    # next #9): same linearizer with gram_kernel="pallas"; equality is
+    # tested in tests/test_pallas_gram.py, here only the wall matters.
+    t_lin_pallas = None
+    if jax.default_backend() == "tpu":
+        try:
+            lin_p, _ = se.make_solver_functions_fast(problem, layout,
+                                                     gram_kernel="pallas")
+            jlp = jax.jit(lin_p)
+            t_lin_pallas = best_of(jlp, params0)
+            del jlp, lin_p
+        except Exception as e:  # noqa: BLE001 — record, don't die
+            log(f"pallas gram linearize failed: {type(e).__name__}: {e}")
     floor = _sync_floor_ms()
     out = {"linearize_ms": round(t_lin * 1e3, 2),
            "solve_ms": round(t_solve * 1e3, 2),
@@ -247,6 +260,9 @@ def measure_breakdown(problem, params0):
            # numbers above (see _sync_floor_ms); device-time estimates
            # are (wall - floor).
            "sync_floor_ms": round(floor, 2)}
+    if t_lin_pallas is not None:
+        out["linearize_pallas_gram_ms"] = round(t_lin_pallas * 1e3, 2)
+        out["pallas_gram_speedup"] = round(t_lin / t_lin_pallas, 3)
     # Compiler FLOP accounting -> achieved rate + utilization estimate
     # (SURVEY.md §5 tracing/profiling; the elementwise AD chains of the
     # linearizer run on the VPU, so utilization is quoted against the
@@ -1116,7 +1132,7 @@ def main():
     # DS3-scale program raises the per-sync latency floor (_sync_floor_ms).
     det = _inproc_stage("detection", measure_detection, min_budget=120)
 
-    fp = _config_fingerprint("breakdown")
+    fp = _config_fingerprint("breakdown-v2-pallasgram")
     breakdown = _cache_load("breakdown", fp)
     if breakdown is None and remaining() > 240:
         log("measuring breakdown")

@@ -749,7 +749,7 @@ def plan_fast_assembly(p: SplineProblem, obs_chunk: int = 2048,
 def make_fast_linearizer(p: SplineProblem, layout, plans,
                          include_prior: bool = True, jac_mode: str = "rev",
                          sequential: bool = False,
-                         gram_dtype=None):
+                         gram_dtype=None, gram_kernel: str = "xla"):
     """Traced chunk-local linearizer: ``lin(params, arrs, bases) -> (H, g, cost)``.
 
     ``arrs`` is the chunked-array dict from :func:`plan_fast_assembly` (or a
@@ -790,6 +790,36 @@ def make_fast_linearizer(p: SplineProblem, layout, plans,
         H = jnp.dot(Jc.T, Jc, preferred_element_type=dtype)
         g = jnp.einsum("ml,m->l", Jd, rf)
         return H, g
+
+    def _densify_gram(r, J, segments, L):
+        """Densify + Gram, either as the two XLA steps or as the fused
+        Pallas kernel (``gram_kernel="pallas"``): the kernel builds each
+        row tile's dense Jacobian in VMEM and contracts it on the MXU
+        without the HBM round trip of the (C*rd, L) buffer
+        (solver/pallas_gram.py; always float32)."""
+        if gram_kernel == "pallas":
+            from openimucameracalibrator_tpu.solver import pallas_gram
+            C, rd, F = J.shape
+            static, idxs, off = [], [], 0
+            for seg in segments:
+                if seg[0] == "run":
+                    _, col0, nblk, td, blk_idx, wblk = seg
+                    static.append(("run", col0, nblk, td, wblk, off))
+                    idxs.append(jnp.repeat(
+                        jnp.asarray(blk_idx, jnp.int32), rd))
+                    off += wblk * td
+                else:
+                    _, col0, ncols = seg
+                    static.append(("fixed", col0, ncols, off))
+                    off += ncols
+            assert off == L, (off, L)
+            fused = pallas_gram.make_fused_gram(
+                tuple(static), L, C * rd, F,
+                interpret=jax.default_backend() != "tpu")
+            H, g = fused(J.reshape(C * rd, F), r.reshape(C * rd), *idxs)
+            return H.astype(dtype), g.astype(dtype)
+        Jd, rf = _densify_segments(r, J, segments, L)
+        return _gram(Jd, rf)
     np3 = 3 * p.n_points  # points are chunk-global: every chunk sees all P
 
     # Local tangent layout sizes.
@@ -822,8 +852,7 @@ def make_fast_linearizer(p: SplineProblem, layout, plans,
         if p.n_points > 0:
             segments.append(("run", 44, 1, 3, pc.obs_pt_id.astype(jnp.int32),
                              p.n_points))
-        Jd, rf = _densify_segments(r, J, segments, L_obs)
-        Hl, gl = _gram(Jd, rf)
+        Hl, gl = _densify_gram(r, J, segments, L_obs)
         return Hl, gl, c
 
     def _accel_chunk(params, ch, s_base, r_base, s_org=0, r_org=0, pov=None):
@@ -837,8 +866,7 @@ def make_fast_linearizer(p: SplineProblem, layout, plans,
             ("run", 36, BIAS_ORDER, 3, i_b.astype(jnp.int32), p.n_bias),
             ("fixed", 45, 9),
         ]
-        Jd, rf = _densify_segments(r, J, segments, L_acc)
-        Hl, gl = _gram(Jd, rf)
+        Hl, gl = _densify_gram(r, J, segments, L_acc)
         return Hl, gl, 0.5 * jnp.sum(r * r)
 
     def _gyro_chunk(params, ch, s_base, s_org=0, pov=None):
@@ -850,8 +878,7 @@ def make_fast_linearizer(p: SplineProblem, layout, plans,
             ("run", 18, BIAS_ORDER, 3, i_b.astype(jnp.int32), p.n_bias),
             ("fixed", 27, 9),
         ]
-        Jd, rf = _densify_segments(r, J, segments, L_gyr)
-        Hl, gl = _gram(Jd, rf)
+        Hl, gl = _densify_gram(r, J, segments, L_gyr)
         return Hl, gl, 0.5 * jnp.sum(r * r)
 
     def _region_idx(starts_list):
@@ -1014,7 +1041,7 @@ def plan_bases(plans) -> dict:
 
 def make_solver_functions_fast(p: SplineProblem, layout,
                                obs_chunk: int = 4096, imu_chunk: int = 256,
-                               gram_dtype=None):
+                               gram_dtype=None, gram_kernel: str = "xla"):
     """(linearize_fn, cost_fn) using chunk-local dense assembly (see above).
 
     Produces the same (H, g, cost) as :func:`make_solver_functions` (tested
@@ -1027,7 +1054,8 @@ def make_solver_functions_fast(p: SplineProblem, layout,
     chunks lose to the O(L^2) window growth of the per-chunk Gram).
     """
     plans, arrs = plan_fast_assembly(p, obs_chunk, imu_chunk)
-    lin = make_fast_linearizer(p, layout, plans, gram_dtype=gram_dtype)
+    lin = make_fast_linearizer(p, layout, plans, gram_dtype=gram_dtype,
+                               gram_kernel=gram_kernel)
     bases = plan_bases(plans)
 
     def linearize_fn(params):
