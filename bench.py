@@ -860,6 +860,23 @@ def measure_detection_video():
             out["native_batched_fps"] / out["opencv_fps"], 2)
     except Exception as e:  # noqa: BLE001 — cv2 aruco may be absent
         out["opencv_error"] = type(e).__name__
+
+    # Device-resident per-stage rate: separates the pipeline's compute
+    # capability from this client's tunnel link (~25 MB/s up / ~7 MB/s
+    # down — the production path must move 0.59 MB per frame over it,
+    # which caps the end-to-end rate near the measured value; a host-
+    # attached TPU does not pay this). See detect/video.benchmark_block.
+    try:
+        from openimucameracalibrator_tpu.detect import charuco
+        from openimucameracalibrator_tpu.detect import video as video_mod
+
+        block = np.stack([np.asarray(g, np.uint8) for _, g in
+                          itertools.islice(
+                              board_extractor.iter_video_frames(video), 32)])
+        spec = charuco.CharucoBoardSpec(10, 8, 0.04, 0.03)
+        out["device_resident"] = video_mod.benchmark_block(block, spec)
+    except Exception as e:  # noqa: BLE001
+        out["device_resident_error"] = f"{type(e).__name__}: {e}"
     return out
 
 
@@ -1143,7 +1160,8 @@ def main():
     # (~3 per 16-frame block) must still happen before the first big LM
     # program raises the per-sync floor.
     det_video = _inproc_stage("detection_video", measure_detection_video,
-                              min_budget=240, fp_extra=E2E_TAG)
+                              min_budget=240,
+                              fp_extra=E2E_TAG + "-devresident")
 
     banded = _inproc_stage("banded_regime", measure_banded, min_budget=240,
                            fp_extra="banded-v2-d300")

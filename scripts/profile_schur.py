@@ -63,8 +63,7 @@ def main():
     mesh = sharded.make_mesh(args.n)
 
     # --- data-parallel components ---
-    lin_dp, cost_dp = sharded.make_sharded_solver_functions(
-        problem, mesh, obs_chunk=4096, imu_chunk=1024)
+    lin_dp, cost_dp, _ = sharded.make_sharded_solver_functions(problem, mesh)
     jlin = jax.jit(lin_dp)
     t, (H, g, c) = timed(jlin, params0)
     print(f"dp linearize_ms {t*1e3:9.1f}")

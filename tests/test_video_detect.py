@@ -94,3 +94,15 @@ def test_video_detect_empty_frames():
     assert len(got[0][1]) >= 55
     assert len(got[1][1]) == 0
     assert len(got[2][1]) >= 55
+
+
+def test_benchmark_block_smoke():
+    """Device-resident per-stage benchmark runs and reports sane fields
+    (used by the bench to separate compute rate from the tunnel link)."""
+    spec, frames, _ = _make_frames(n=4)
+    block = np.stack([f[1] for f in frames])
+    out = video.benchmark_block(block, spec, n_iters=1)
+    assert out["frames_per_block"] == 4
+    for k in ("pixels_ms", "host_quads_ms", "decode_interp_ms",
+              "device_resident_fps"):
+        assert out[k] > 0, (k, out)
