@@ -223,6 +223,11 @@ def make_schur_solver_functions(p: se.SplineProblem, mesh: Mesh,
     D = layout_g.tangent_dim
     dtype = p.obs_uv.dtype
 
+    from openimucameracalibrator_tpu.parallel.sharded import _effective_chunk
+    obs_chunk = _effective_chunk(int(p.obs_t.shape[0]), n, obs_chunk)
+    imu_chunk = _effective_chunk(max(int(p.accel_t.shape[0]),
+                                     int(p.gyro_t.shape[0])), n, imu_chunk,
+                                 quantum=128)
     fam_obs, k_obs = _pad_family(se._obs_fields(p), "obs_t", "obs_valid",
                                  n, obs_chunk)
     fam_acc, k_acc = _pad_family(

@@ -116,3 +116,36 @@ def test_fast_assembly_matches_scatter(small_problem):
     np.testing.assert_allclose(float(c1), float(c0), rtol=1e-12)
     np.testing.assert_allclose(float(cost_f(params0)), float(cost_s(params0)),
                                rtol=1e-12)
+
+
+def test_pad_family_distributes_rows_evenly():
+    """Every device must receive its contiguous ~m/n row share; the r4
+    layout packed all real rows into the first ceil(m/chunk) devices
+    whenever m/n < chunk (IMU entirely on device 0 at bench scale),
+    idling most of the mesh and degenerating the Schur partition."""
+    m, n, chunk = 1200, 8, 2048
+    arrs = {"t": np.linspace(0.0, 12.0, m),
+            "v": np.ones(m, bool),
+            "x": np.arange(m, dtype=np.float64)}
+    fam, k = sharded._pad_family(arrs, "t", "v", n, chunk)
+    assert fam["t"].shape == (n, k, chunk)
+    counts = fam["v"].reshape(n, -1).sum(1)
+    assert counts.min() >= m // n, counts          # every device works
+    assert counts.max() - counts.min() <= 1, counts
+    # each device's real rows are the contiguous global slice
+    m_loc = -(-m // n)
+    for d in range(n):
+        vd = fam["v"][d].reshape(-1)
+        xd = fam["x"][d].reshape(-1)[vd]
+        np.testing.assert_array_equal(
+            xd, np.arange(d * m_loc, min((d + 1) * m_loc, m)))
+    # padded times stay inside the device's own window (local knot span)
+    for d in range(n):
+        td = fam["t"][d].reshape(-1)
+        assert td.max() <= arrs["t"][min((d + 1) * m_loc, m) - 1] + 1e-9
+
+
+def test_effective_chunk_caps_at_shard_size():
+    assert sharded._effective_chunk(1200, 8, 2048, quantum=128) == 256
+    assert sharded._effective_chunk(100000, 8, 2048) == 2048
+    assert sharded._effective_chunk(0, 8, 2048) == 256
