@@ -1149,7 +1149,7 @@ def main():
     # DS3-scale program raises the per-sync latency floor (_sync_floor_ms).
     det = _inproc_stage("detection", measure_detection, min_budget=120)
 
-    fp = _config_fingerprint("breakdown-v2-pallasgram")
+    fp = _config_fingerprint("breakdown-v3-pallasgram-gridbatch")
     breakdown = _cache_load("breakdown", fp)
     if breakdown is None and remaining() > 240:
         log("measuring breakdown")

@@ -118,8 +118,17 @@ def find_quad_candidates(mask: np.ndarray, opts: MarkerDetectorOptions):
     cand = cand[np.argsort(-sel_area[cand])][:opts.max_candidates]
     if cand.size == 0:
         return np.zeros((0, 4, 2))
+    quad, ok = _fit_quads(cand, comp_starts, comp_ends, seg_row, x_min,
+                          x_max, sel_area, opts)
+    return quad[ok]
 
-    # Batched quad fit over ALL candidates at once (one set of numpy ops
+
+def _fit_quads(cand, comp_starts, comp_ends, seg_row, x_min, x_max,
+               sel_area, opts):
+    """Batched quad fit over the candidate components -> (quad (C, 4, 2),
+    ok (C,)). Shared by the single-frame and the multi-frame batch path.
+
+    (One set of numpy ops
     # instead of ~15 tiny calls x components). Point sets are padded to
     # P slots; components spanning more rows are row-subsampled, keeping
     # the global top/bottom rows and the rows realizing the x extremes so

@@ -50,7 +50,16 @@ def make_fused_gram(segments, L: int, R: int, F: int, tile_rows: int = 512,
     ``segments`` is the static placement list (see module docstring); one
     ``(R,)`` int32 block-index array must be passed per "run" segment, in
     segment order. ``H`` is ``(L, L)``, ``g`` is ``(L,)``, both float32.
-    """
+
+    The returned function carries a ``custom_vmap`` rule: the linearizer
+    vmaps it over the chunk axis, and the default pallas batching rule
+    materializes the FULL batched operands and outputs in VMEM (measured
+    21.2 MB > the 16 MB scoped limit at DS3 scale — a hard compile
+    error). The rule instead folds the batch axis into the kernel grid:
+    grid ``(K, n_tiles)``, one (tile, chunk) block resident at a time,
+    output block revisited across the inner tile axis (TPU grids iterate
+    the last axis innermost, so the accumulate-then-move-on pattern
+    holds per chunk)."""
     T = min(tile_rows, _round_up(R, 8))
     Rp = _round_up(R, T)
     n_tiles = Rp // T
@@ -60,14 +69,14 @@ def make_fused_gram(segments, L: int, R: int, F: int, tile_rows: int = 512,
     def kernel(jref, rref, *refs):
         idx_refs = refs[:n_run]
         href, gref = refs[n_run], refs[n_run + 1]
-        jt = jref[...]                    # (T, F)
+        jt = jref[0]                      # (T, F)
         cols = jax.lax.broadcasted_iota(jnp.int32, (T, Lp), 1)
         dense = jnp.zeros((T, Lp), jnp.float32)
         run_i = 0
         for seg in segments:
             if seg[0] == "run":
                 _, col0, nblk, td, wblk, out_off = seg
-                idx = idx_refs[run_i][...]  # (T, 1) int32
+                idx = idx_refs[run_i][0]  # (T, 1) int32
                 run_i += 1
                 for k in range(nblk):
                     base = (idx + k) * td + out_off   # (T, 1)
@@ -83,46 +92,66 @@ def make_fused_gram(segments, L: int, R: int, F: int, tile_rows: int = 512,
                         jt[:, col0 + c][:, None], 0.0)
         ht = jax.lax.dot_general(dense, dense, (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        gt = jax.lax.dot_general(rref[...], dense, (((0,), (0,)), ((), ())),
+        gt = jax.lax.dot_general(rref[0], dense, (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
 
-        @pl.when(pl.program_id(0) == 0)
+        @pl.when(pl.program_id(1) == 0)
         def _():
-            href[...] = ht
-            gref[...] = gt
+            href[0] = ht
+            gref[0] = gt
 
-        @pl.when(pl.program_id(0) != 0)
+        @pl.when(pl.program_id(1) != 0)
         def _():
-            href[...] += ht
-            gref[...] += gt
+            href[0] += ht
+            gref[0] += gt
 
-    row_spec = pl.BlockSpec((T, F), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
-    col1_spec = pl.BlockSpec((T, 1), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM)
-    out_specs = [
-        pl.BlockSpec((Lp, Lp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, Lp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-    ]
-    call = pl.pallas_call(
-        kernel,
-        grid=(n_tiles,),
-        in_specs=[row_spec, col1_spec] + [col1_spec] * n_run,
-        out_specs=out_specs,
-        out_shape=[jax.ShapeDtypeStruct((Lp, Lp), jnp.float32),
-                   jax.ShapeDtypeStruct((1, Lp), jnp.float32)],
-        interpret=interpret,
-    )
+    def batched_call(K: int):
+        row_spec = pl.BlockSpec((1, T, F), lambda i, j: (i, j, 0),
+                                memory_space=pltpu.VMEM)
+        col1_spec = pl.BlockSpec((1, T, 1), lambda i, j: (i, j, 0),
+                                 memory_space=pltpu.VMEM)
+        out_specs = [
+            pl.BlockSpec((1, Lp, Lp), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Lp), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        return pl.pallas_call(
+            kernel,
+            grid=(K, n_tiles),
+            in_specs=[row_spec, col1_spec] + [col1_spec] * n_run,
+            out_specs=out_specs,
+            out_shape=[jax.ShapeDtypeStruct((K, Lp, Lp), jnp.float32),
+                       jax.ShapeDtypeStruct((K, 1, Lp), jnp.float32)],
+            interpret=interpret,
+        )
 
+    def _prep(J, r, idxs):
+        pad = Rp - R
+        Jp = jnp.pad(J.astype(jnp.float32), ((0, 0), (0, pad), (0, 0)))
+        rp = jnp.pad(r.astype(jnp.float32), ((0, 0), (0, pad)))[..., None]
+        ip = [jnp.pad(i.astype(jnp.int32), ((0, 0), (0, pad)))[..., None]
+              for i in idxs]
+        return Jp, rp, ip
+
+    @jax.custom_batching.custom_vmap
     def fused(J, r, *idxs):
         assert J.shape == (R, F), (J.shape, (R, F))
         assert len(idxs) == n_run, (len(idxs), n_run)
-        pad = Rp - R
-        Jp = jnp.pad(J.astype(jnp.float32), ((0, pad), (0, 0)))
-        rp = jnp.pad(r.astype(jnp.float32), (0, pad))[:, None]
-        ip = [jnp.pad(i.astype(jnp.int32), (0, pad))[:, None] for i in idxs]
-        H, g = call(Jp, rp, *ip)
-        return H[:L, :L], g[0, :L]
+        Jp, rp, ip = _prep(J[None], r[None], [i[None] for i in idxs])
+        H, g = batched_call(1)(Jp, rp, *ip)
+        return H[0, :L, :L], g[0, 0, :L]
+
+    @fused.def_vmap
+    def _fused_vmap(axis_size, in_batched, J, r, *idxs):
+        def bc(x, b):
+            return x if b else jnp.broadcast_to(x, (axis_size,) + x.shape)
+        J = bc(J, in_batched[0])
+        r = bc(r, in_batched[1])
+        idxs = [bc(i, b) for i, b in zip(idxs, in_batched[2:])]
+        Jp, rp, ip = _prep(J, r, idxs)
+        H, g = batched_call(axis_size)(Jp, rp, *ip)
+        return (H[:, :L, :L], g[:, 0, :L]), (True, True)
 
     return fused
 
